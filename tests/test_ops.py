@@ -1,0 +1,204 @@
+"""Unit tests for the ops layer: attention (Pallas vs reference), fused
+GroupNorm+SiLU, time embeddings, and image primitives — checked against
+closed-form math and torch CPU where torch defines the semantics we must
+match (PixelShuffle, avg_pool2d, GroupNorm, MHA)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weatherconverter_tpu.ops import attention as A
+from weatherconverter_tpu.ops import groupnorm as G
+from weatherconverter_tpu.ops import image as I
+from weatherconverter_tpu.ops import time_embed as TE
+
+torch = pytest.importorskip("torch")
+
+
+# ---------------------------------------------------------------------------
+# time embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_timestep_embedding_formula():
+    """Matches reference formula (unet_base.py:22-30)."""
+    t = jnp.array([0, 1, 100, 999])
+    dim = 128
+    emb = TE.timestep_embedding(t, dim)
+    assert emb.shape == (4, 128)
+    half = dim // 2
+    factor = 10000.0 ** (np.arange(half) / half)
+    for i, ti in enumerate([0, 1, 100, 999]):
+        args = ti / factor
+        # float32 sin/cos of args up to 999 rad vs float64 numpy: ~5e-4 abs
+        np.testing.assert_allclose(emb[i, :half], np.sin(args), atol=2e-3)
+        np.testing.assert_allclose(emb[i, half:], np.cos(args), atol=2e-3)
+
+
+def test_alpha_plane_embedding_shape_and_values():
+    v = jnp.array([0.5, 0.1]).reshape(2, 1, 1, 1)
+    emb = TE.alpha_plane_embedding(v, image_size=16, dim=32)
+    assert emb.shape == (2, 16, 16, 32)
+    # constant over the plane
+    np.testing.assert_allclose(emb[0, 0, 0], emb[0, 7, 9], rtol=1e-6)
+    # expected computed through the same float32 pipeline (args up to ~3141 rad
+    # make float64 comparison meaningless)
+    freqs = np.exp(np.linspace(np.log(1.0), np.log(1000.0), 16).astype(np.float32))
+    ang = (2.0 * np.pi * freqs).astype(np.float32) * np.float32(0.5)
+    np.testing.assert_allclose(emb[0, 0, 0, :16], np.sin(ang), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+def test_attention_reference_vs_torch(rng):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    b, h, n, d = 2, 4, 64, 16
+    q = jax.random.normal(k1, (b, h, n, d))
+    k = jax.random.normal(k2, (b, h, n, d))
+    v = jax.random.normal(k3, (b, h, n, d))
+    out = A.attention_reference(q, k, v)
+    tq, tk, tv = (torch.from_numpy(np.asarray(x)) for x in (q, k, v))
+    ref = torch.nn.functional.scaled_dot_product_attention(tq, tk, tv)
+    np.testing.assert_allclose(out, ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_matches_reference(rng):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    b, h, n, d = 2, 2, 256, 32
+    q = jax.random.normal(k1, (b, h, n, d))
+    k = jax.random.normal(k2, (b, h, n, d))
+    v = jax.random.normal(k3, (b, h, n, d))
+    out = A.flash_attention(q, k, v)
+    ref = A.attention_reference(q, k, v)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_grad_matches(rng):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    b, h, n, d = 1, 1, 32, 8
+    q = jax.random.normal(k1, (b, h, n, d))
+    k = jax.random.normal(k2, (b, h, n, d))
+    v = jax.random.normal(k3, (b, h, n, d))
+
+    g1 = jax.grad(lambda q_: jnp.sum(A.flash_attention(q_, k, v) ** 2))(q)
+    g2 = jax.grad(lambda q_: jnp.sum(A.attention_reference(q_, k, v) ** 2))(q)
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
+
+
+def test_multi_head_attention_dispatch(rng):
+    q = jax.random.normal(rng, (1, 2, 100, 8))  # 100 not divisible by 8 -> fallback
+    out = A.multi_head_attention(q, q, q)
+    ref = A.attention_reference(q, q, q)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# groupnorm
+# ---------------------------------------------------------------------------
+
+
+def test_group_norm_matches_torch(rng):
+    n, h, w, c = 2, 8, 8, 32
+    x = jax.random.normal(rng, (n, h, w, c))
+    gamma = jnp.linspace(0.5, 1.5, c)
+    beta = jnp.linspace(-0.2, 0.2, c)
+    out = G.group_norm_reference(x, gamma, beta, num_groups=8)
+    tx = torch.from_numpy(np.asarray(x.transpose(0, 3, 1, 2)))
+    gn = torch.nn.GroupNorm(8, c)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(np.asarray(gamma)))
+        gn.bias.copy_(torch.from_numpy(np.asarray(beta)))
+    ref = gn(tx).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gn_silu_matches_composition(rng):
+    n, h, w, c = 2, 16, 16, 64
+    x = jax.random.normal(rng, (n, h, w, c))
+    gamma = jnp.ones(c)
+    beta = jnp.zeros(c)
+    fused = G.group_norm_silu(x, gamma, beta, 8, 1e-5, True)
+    ref = G.group_norm_reference(x, gamma, beta, 8, silu=True)
+    np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gn_silu_grad(rng):
+    n, h, w, c = 1, 4, 4, 16
+    x = jax.random.normal(rng, (n, h, w, c))
+    gamma = jnp.ones(c)
+    beta = jnp.zeros(c)
+    g1 = jax.grad(lambda x_: jnp.sum(G.group_norm_silu(x_, gamma, beta, 8, 1e-5, True)))(x)
+    g2 = jax.grad(
+        lambda x_: jnp.sum(G.group_norm_reference(x_, gamma, beta, 8, silu=True))
+    )(x)
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# image ops
+# ---------------------------------------------------------------------------
+
+
+def test_avg_pool_matches_torch(rng):
+    x = jax.random.normal(rng, (1, 16, 16, 3))
+    out = I.avg_pool(x, 4, 4)
+    tx = torch.from_numpy(np.asarray(x.transpose(0, 3, 1, 2)))
+    ref = torch.nn.functional.avg_pool2d(tx, 4, 4).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    x = jax.random.normal(rng, (2, 4, 4, 16))
+    out = I.pixel_shuffle(x, 2)
+    tx = torch.from_numpy(np.asarray(x.transpose(0, 3, 1, 2)))
+    ref = torch.nn.functional.pixel_shuffle(tx, 2).numpy().transpose(0, 2, 3, 1)
+    assert out.shape == (2, 8, 8, 4)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_bilinear_matches_torch(rng):
+    x = jax.random.uniform(rng, (1, 8, 8, 3))
+    out = I.resize_bilinear(x, (16, 16))
+    tx = torch.from_numpy(np.asarray(x.transpose(0, 3, 1, 2)))
+    ref = (
+        torch.nn.functional.interpolate(
+            tx, size=(16, 16), mode="bilinear", align_corners=False
+        )
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_center_crop():
+    x = jnp.arange(1 * 6 * 6 * 1, dtype=jnp.float32).reshape(1, 6, 6, 1)
+    out = I.center_crop(x, (4, 4))
+    assert out.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(out[0, 0, 0, 0], x[0, 1, 1, 0])
+
+
+def test_normalize_denormalize_roundtrip(rng):
+    x = jax.random.uniform(rng, (1, 4, 4, 3))
+    mean, std = [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]
+    y = I.normalize(x, mean, std)
+    back = I.denormalize(y, mean, std)
+    np.testing.assert_allclose(back, x, rtol=1e-5, atol=1e-6)
+
+
+def test_adaptive_avg_pool_matches_torch(rng):
+    x = jax.random.normal(rng, (1, 13, 13, 4))
+    out = I.adaptive_avg_pool(x, (6, 6))
+    tx = torch.from_numpy(np.asarray(x.transpose(0, 3, 1, 2)))
+    ref = torch.nn.functional.adaptive_avg_pool2d(tx, (6, 6)).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_global_avg_pool(rng):
+    x = jax.random.normal(rng, (2, 5, 7, 3))
+    np.testing.assert_allclose(
+        I.global_avg_pool(x, keepdims=False), np.asarray(x).mean(axis=(1, 2)), rtol=1e-5
+    )

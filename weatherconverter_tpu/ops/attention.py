@@ -1,0 +1,154 @@
+"""Multi-head self-attention over flattened image tokens.
+
+The reference uses `nn.MultiheadAttention` over h*w <= 64*64 = 4096 tokens
+(reference: diffusion_model/models/unet_base.py:114-120,153-161). Here the hot
+path is a Pallas blockwise (flash) attention kernel that never materializes
+the (N, N) score matrix in HBM; a pure-jnp fallback provides the
+reference semantics everywhere else (CPU tests, autodiff backward).
+
+Layout: (B, H, N, D) with D = channels // num_heads. Non-causal, no mask —
+image self-attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Plain softmax(QK^T / sqrt(D)) V, matching torch MHA math
+    (scale = D^-0.5, reference: unet_base.py:42,55)."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=jnp.float32))
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    """One (batch*head, q-block) program: stream K/V blocks, keep running
+    max/sum (the standard flash-attention recurrence)."""
+    q = q_ref[0].astype(jnp.float32)  # (block_q, D)
+    n_k = k_ref.shape[1]
+    num_kb = n_k // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q,
+            k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale  # (block_q, block_k)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p,
+            v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    block_q, d = q.shape
+    m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_attention_fwd_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jax.Array:
+    b, h, n, d = q.shape
+    bh = b * h
+    qr = q.reshape(bh, n, d)
+    kr = k.reshape(bh, n, d)
+    vr = v.reshape(bh, n, d)
+    scale = float(1.0 / (d**0.5))
+
+    grid = (bh, n // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qr, kr, vr)
+    return out.reshape(b, h, n, d)
+
+
+def _pick_blocks(n: int) -> tuple[int, int]:
+    for b in (512, 256, 128, 64, 32, 16, 8):
+        if n % b == 0 and b <= n:
+            return b, b
+    return n, n
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Blockwise attention, Pallas on TPU, interpret-mode elsewhere.
+
+    Backward pass recomputes via the jnp reference (flash backward kernels are
+    a later-round optimization); forward is the sampling hot path where the
+    1000-step reverse loop lives (reference: sample_ddpm.py:35-44).
+    """
+    n = q.shape[2]
+    bq, bk = _pick_blocks(n)
+    return _flash_attention_fwd_impl(
+        q, k, v, block_q=bq, block_k=bk, interpret=not _on_tpu()
+    )
+
+
+def _fa_fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _fa_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(attention_reference, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def multi_head_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, use_pallas: bool = True
+) -> jax.Array:
+    """(B, H, N, D) attention dispatch: Pallas kernel when shapes tile cleanly,
+    jnp reference otherwise."""
+    n, d = q.shape[2], q.shape[3]
+    if use_pallas and n % 8 == 0 and d >= 8:
+        return flash_attention(q, k, v)
+    return attention_reference(q, k, v)

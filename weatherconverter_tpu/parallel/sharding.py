@@ -1,0 +1,101 @@
+"""Device mesh and sharding utilities.
+
+The reference is strictly single-GPU (SURVEY.md §2.4: no torch.distributed /
+NCCL anywhere). This module is the capability uplift: data-parallel (and
+optionally model-parallel) execution over a TPU slice expressed with
+`jax.sharding.Mesh` + `NamedSharding`, letting XLA insert the gradient
+all-reduce over ICI. No hand-written collectives are needed for DP — `jax.jit`
+with sharded inputs + replicated params compiles to per-device compute with a
+`psum` for the grads.
+
+Axis convention:
+  - "data"  : batch sharding (DP). Gradient allreduce rides ICI.
+  - "model" : optional tensor parallelism for wide conv channels / attn heads.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the local devices.
+
+    With the default `model=1` this is a pure DP mesh, the layout the
+    BASELINE.json north-star specifies ("shards over a v5e mesh with gradient
+    allreduce over ICI").
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    n = len(devs)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.array(devs).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated over the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(batch, multiple: int):
+    """Pad the leading dim of every leaf to a multiple (static-shape
+    friendliness for pjit when the dataset size doesn't divide the mesh)."""
+
+    def _pad(x):
+        b = x.shape[0]
+        rem = (-b) % multiple
+        if rem == 0:
+            return x
+        pad_width = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), pad_width, mode="edge")
+
+    return jax.tree_util.tree_map(_pad, batch)
+
+
+@contextmanager
+def maybe_mesh(mesh: Optional[Mesh]):
+    if mesh is None:
+        yield
+    else:
+        with mesh:
+            yield
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
+    """Per-device batch under DP."""
+    n = mesh.shape[DATA_AXIS]
+    assert global_batch % n == 0, f"batch {global_batch} % data axis {n} != 0"
+    return global_batch // n
