@@ -1,0 +1,208 @@
+"""Swift-SRGAN generator and discriminator — parity with the reference
+(reference: srgan_model/models.py). The generator bridges the 128px diffusion
+space to the 512px segmentation space inside the guided-sampling loop
+(reference: translation.py:81,95).
+
+TPU-first notes: separable convs map to `feature_group_count` grouped
+convolutions; PixelShuffle is a reshape/transpose (ops/image.pixel_shuffle)
+with torch channel ordering so imported torch weights reproduce outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from weatherconverter_tpu.ops.image import adaptive_avg_pool, pixel_shuffle
+
+Dtype = Any
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU, torch nn.PReLU(num_parameters=C) semantics
+    (reference: srgan_model/models.py:32,45)."""
+
+    channels: int
+    alpha_init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param(
+            "alpha",
+            lambda key, shape: jnp.full(shape, self.alpha_init, dtype=jnp.float32),
+            (self.channels,),
+        )
+        return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+
+
+class SeparableConv(nn.Module):
+    """Depthwise (groups=C_in) + pointwise 1x1
+    (reference: srgan_model/models.py:5-21)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        h = nn.Conv(
+            cin,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=self.padding,
+            feature_group_count=cin,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        return nn.Conv(
+            self.features, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name="pointwise"
+        )(h)
+
+
+class ConvBlock(nn.Module):
+    """SepConv -> [BN] -> [PReLU | LeakyReLU(0.2)]
+    (reference: srgan_model/models.py:24-35)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_act: bool = True
+    use_bn: bool = True
+    discriminator: bool = False
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = SeparableConv(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+            name="cnn",
+        )(x)
+        if self.use_bn:
+            h = nn.BatchNorm(use_running_average=not self.train, momentum=0.9, name="bn")(h)
+        if self.use_act:
+            if self.discriminator:
+                h = nn.leaky_relu(h, negative_slope=0.2)
+            else:
+                h = PReLU(self.features, name="act")(h)
+        return h
+
+
+class UpsampleBlock(nn.Module):
+    """SepConv(C -> C*r^2) -> PixelShuffle(r) -> PReLU
+    (reference: srgan_model/models.py:38-48)."""
+
+    channels: int
+    scale_factor: int = 2
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = SeparableConv(
+            self.channels * self.scale_factor**2, 3, 1, 1, dtype=self.dtype, name="conv"
+        )(x)
+        h = pixel_shuffle(h, self.scale_factor)
+        return PReLU(self.channels, name="act")(h)
+
+
+class ResidualBlock(nn.Module):
+    """Two ConvBlocks with identity skip (reference: srgan_model/models.py:51-62)."""
+
+    channels: int
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = ConvBlock(self.channels, train=self.train, dtype=self.dtype, name="block1")(x)
+        h = ConvBlock(
+            self.channels, use_act=False, train=self.train, dtype=self.dtype, name="block2"
+        )(h)
+        return h + x
+
+
+class Generator(nn.Module):
+    """Swift-SRGAN generator (reference: srgan_model/models.py:65-92):
+    9x9 sep-conv stem -> num_blocks residuals -> conv + global skip -> 2x
+    PixelShuffle upsamplers -> 9x9 sep-conv -> (tanh + 1) / 2."""
+
+    in_channels: int = 3
+    num_channels: int = 64
+    num_blocks: int = 16
+    upscale_factor: int = 4
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        initial = ConvBlock(
+            self.num_channels, kernel_size=9, padding=4, use_bn=False,
+            train=self.train, dtype=self.dtype, name="initial",
+        )(x.astype(self.dtype))
+        h = initial
+        for i in range(self.num_blocks):
+            h = ResidualBlock(
+                self.num_channels, train=self.train, dtype=self.dtype, name=f"residual{i}"
+            )(h)
+        h = ConvBlock(
+            self.num_channels, use_act=False, train=self.train, dtype=self.dtype,
+            name="convblock",
+        )(h)
+        h = h + initial
+        for i in range(self.upscale_factor // 2):
+            h = UpsampleBlock(
+                self.num_channels, 2, train=self.train, dtype=self.dtype, name=f"upsampler{i}"
+            )(h)
+        h = SeparableConv(self.in_channels, 9, 1, 4, dtype=self.dtype, name="final_conv")(h)
+        return ((jnp.tanh(h) + 1.0) / 2.0).astype(jnp.float32)
+
+
+class Discriminator(nn.Module):
+    """Swift-SRGAN discriminator (reference: srgan_model/models.py:95-138).
+    Defined-but-untrained in the reference pipeline; provided here with a
+    working training path (training/train_srgan.py) for completeness."""
+
+    in_channels: int = 3
+    features: tuple = (64, 64, 128, 128, 256, 256, 512, 512)
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x.astype(self.dtype)
+        for idx, feature in enumerate(self.features):
+            h = ConvBlock(
+                feature,
+                kernel_size=3,
+                stride=1 + idx % 2,
+                padding=1,
+                discriminator=True,
+                use_act=True,
+                use_bn=(idx != 0),
+                train=self.train,
+                dtype=self.dtype,
+                name=f"block{idx}",
+            )(h)
+        h = adaptive_avg_pool(h, (6, 6))
+        # Flatten in torch NCHW order so imported classifier weights line up
+        # (reference flattens (N, 512, 6, 6) at srgan_model/models.py:130).
+        h = h.transpose(0, 3, 1, 2).reshape(h.shape[0], -1)
+        h = nn.Dense(1024, dtype=self.dtype, name="fc1")(h)
+        h = nn.leaky_relu(h, negative_slope=0.2)
+        h = nn.Dense(1, dtype=self.dtype, name="fc2")(h)
+        return jax.nn.sigmoid(h).astype(jnp.float32)
