@@ -1,0 +1,130 @@
+"""DeepLabV3 / DeepLabV3+ heads and assembled segmentation models (NHWC).
+
+Parity with the reference heads (reference: seg_model/network/_deeplab.py):
+  - ASPP: 1x1 + three dilated 3x3 (rates per output_stride) + global-pool
+    branch, projected by 1x1 + dropout 0.1 (_deeplab.py:133-162).
+  - DeepLabHeadV3Plus: 1x1 project low_level -> 48ch, ASPP(out) bilinearly
+    upsampled, concat -> 3x3 conv 256 -> 1x1 classes (_deeplab.py:28-59).
+  - DeepLabHead (V3): ASPP -> 3x3 256 -> classes (_deeplab.py:61-83).
+  - Final bilinear upsample to input resolution (network/utils.py:13-18).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from weatherconverter_tpu.ops.image import global_avg_pool, resize_bilinear
+
+Dtype = Any
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    padding: int | None = None
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.padding if self.padding is not None else self.dilation * (self.kernel - 1) // 2
+        h = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        h = nn.BatchNorm(use_running_average=not self.train, momentum=0.9, name="bn")(h)
+        return nn.relu(h)
+
+
+class ASPP(nn.Module):
+    """(reference: _deeplab.py:133-162)."""
+
+    atrous_rates: Sequence[int]
+    out_channels: int = 256
+    train: bool = False
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        res = [ConvBNReLU(self.out_channels, 1, train=self.train, dtype=self.dtype, name="conv1x1")(x)]
+        for i, rate in enumerate(self.atrous_rates):
+            res.append(
+                ConvBNReLU(
+                    self.out_channels, 3, dilation=rate, train=self.train, dtype=self.dtype,
+                    name=f"atrous{i}",
+                )(x)
+            )
+        pooled = global_avg_pool(x)  # (N,1,1,C)
+        pooled = ConvBNReLU(self.out_channels, 1, train=self.train, dtype=self.dtype, name="pool_conv")(pooled)
+        pooled = resize_bilinear(pooled, (x.shape[1], x.shape[2]))
+        res.append(pooled)
+        h = jnp.concatenate(res, axis=-1)
+        h = ConvBNReLU(self.out_channels, 1, train=self.train, dtype=self.dtype, name="project")(h)
+        h = nn.Dropout(rate=0.1, deterministic=self.deterministic)(h)
+        return h
+
+
+class DeepLabHeadV3Plus(nn.Module):
+    """(reference: _deeplab.py:28-59)."""
+
+    num_classes: int
+    aspp_dilate: Sequence[int]
+    train: bool = False
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: dict[str, jax.Array]) -> jax.Array:
+        low = ConvBNReLU(48, 1, train=self.train, dtype=self.dtype, name="project")(feats["low_level"])
+        aspp = ASPP(
+            self.aspp_dilate, train=self.train, deterministic=self.deterministic,
+            dtype=self.dtype, name="aspp",
+        )(feats["out"])
+        aspp = resize_bilinear(aspp, (low.shape[1], low.shape[2]))
+        h = jnp.concatenate([low, aspp], axis=-1)
+        h = ConvBNReLU(256, 3, train=self.train, dtype=self.dtype, name="classifier0")(h)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="classifier1")(h)
+
+
+class DeepLabHead(nn.Module):
+    """(reference: _deeplab.py:61-83)."""
+
+    num_classes: int
+    aspp_dilate: Sequence[int]
+    train: bool = False
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: dict[str, jax.Array]) -> jax.Array:
+        h = ASPP(
+            self.aspp_dilate, train=self.train, deterministic=self.deterministic,
+            dtype=self.dtype, name="aspp",
+        )(feats["out"])
+        h = ConvBNReLU(256, 3, train=self.train, dtype=self.dtype, name="classifier0")(h)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="classifier1")(h)
+
+
+class DeepLabV3(nn.Module):
+    """backbone -> head -> bilinear upsample to input size
+    (reference: network/utils.py:7-18)."""
+
+    backbone: nn.Module
+    head: nn.Module
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        feats = self.backbone(x)
+        logits = self.head(feats)
+        return resize_bilinear(logits, (x.shape[1], x.shape[2])).astype(jnp.float32)
