@@ -1,0 +1,137 @@
+"""SGG guidance tests: gradient-probe correctness, GSG/LCG formula parity
+(reference sgg/sgg.py), and the jitted guided-translation scan end-to-end on
+tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weatherconverter_tpu.diffusion.schedule import linear_schedule
+from weatherconverter_tpu.guidance.sgg import (
+    IMAGENET_STD,
+    apply_gsg,
+    apply_lcg,
+    gradient_magnitude,
+    guidance_field,
+    seg_input_gradients,
+)
+from weatherconverter_tpu.guidance.translate import sample_with_sgg
+
+H = 16  # "512px" stand-in
+h = 4  # latent resolution (pool 4x)
+B = 1
+C = 4  # classes
+
+
+def linear_seg_fn(x):
+    """A fixed linear 'seg model': logits = conv-free projection of x, so the
+    CE input-gradient has a closed form checkable by finite differences."""
+    w = jnp.stack([jnp.full((3,), 0.1 * (i + 1)) for i in range(C)], axis=1)
+    return jnp.einsum("bhwc,cd->bhwd", x, w)
+
+
+def test_seg_input_gradients_finite_difference():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, H, H, 3))
+    gt = jax.random.randint(jax.random.PRNGKey(1), (B, H, H), 0, C)
+    g = seg_input_gradients(linear_seg_fn, x, gt)
+    assert g.shape == x.shape
+
+    from weatherconverter_tpu.guidance.sgg import seg_ce
+
+    eps = 1e-3
+    dx = jnp.zeros_like(x).at[0, 3, 3, 1].set(eps)
+    fd = (seg_ce(linear_seg_fn, x + dx, gt) - seg_ce(linear_seg_fn, x - dx, gt)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 3, 3, 1]), float(fd), rtol=1e-2, atol=1e-5)
+
+
+def test_gradient_magnitude_denormalize():
+    g = jnp.ones((B, 4, 4, 3))
+    mag = gradient_magnitude(g, denormalize=True)
+    want = np.sqrt(np.sum(np.asarray(IMAGENET_STD) ** 2))
+    np.testing.assert_allclose(np.asarray(mag), want, rtol=1e-6)
+    assert mag.shape == (B, 4, 4, 1)
+
+
+def test_apply_gsg_formula():
+    """mu_hat = mu + lam*sigma*mag; reference mode adds +sigma (sgg.py:22-23)."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, H, H, 3))
+    gt = jax.random.randint(jax.random.PRNGKey(3), (B, H, H), 0, C)
+    mu = jnp.zeros((B, h, h, 3))
+    sigma = jnp.full((B, 1, 1, 1), 0.5)
+    out_ref = apply_gsg(linear_seg_fn, mu, sigma, x, gt, lam=2.0, mode="reference")
+    mag = guidance_field(linear_seg_fn, x, gt, pool=4)
+    want = mu + 2.0 * sigma * mag + sigma
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(want), rtol=1e-5)
+
+    z = jnp.ones_like(mu) * 0.3
+    out_fix = apply_gsg(linear_seg_fn, mu, sigma, x, gt, lam=2.0, noise=z, mode="fixed")
+    want_fix = mu + 2.0 * sigma * mag + sigma * z
+    np.testing.assert_allclose(np.asarray(out_fix), np.asarray(want_fix), rtol=1e-5)
+
+
+def test_apply_lcg_recombines_by_class_mask():
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, H, H, 3))
+    # block-structured gt so each latent pixel has a unique class
+    gt = jnp.repeat(jnp.repeat(
+        jax.random.randint(jax.random.PRNGKey(5), (B, h, h), 0, C), 4, axis=1), 4, axis=2)
+    mu = jnp.zeros((B, h, h, 3))
+    sigma = jnp.full((B, 1, 1, 1), 0.5)
+    out = apply_lcg(linear_seg_fn, mu, sigma, x, gt, lam=1.0, num_classes=C, mode="reference")
+    assert out.shape == (B, h, h, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # every latent pixel is covered by exactly one class -> the recombined
+    # value equals that class's x_t^c there; with lam=0 all x_t^c collapse
+    # to mu + sigma, so out == mu + sigma everywhere.
+    out0 = apply_lcg(linear_seg_fn, mu, sigma, x, gt, lam=0.0, num_classes=C, mode="reference")
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(mu + sigma), rtol=1e-5, atol=1e-6)
+
+
+def test_lcg_uncovered_pixels_fall_back_in_fixed_mode():
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, H, H, 3))
+    gt = jnp.full((B, H, H), 255, dtype=jnp.int32)  # nothing covered
+    mu = jnp.ones((B, h, h, 3))
+    sigma = jnp.full((B, 1, 1, 1), 0.5)
+    z = jnp.ones_like(mu)
+    out = apply_lcg(linear_seg_fn, mu, sigma, x, gt, lam=1.0, num_classes=C, noise=z, mode="fixed")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(mu + sigma * z), rtol=1e-5)
+
+
+def test_sample_with_sgg_end_to_end_jits():
+    sched = linear_schedule(6)
+    diff_fn = lambda xt, t: jnp.zeros_like(xt)
+    sr_fn = lambda x: jnp.clip(jnp.repeat(jnp.repeat(x, 4, 1), 4, 2) * 0.5 + 0.5, 0, 1)
+    seg_fn = linear_seg_fn
+    x0 = jnp.zeros((B, h, h, 3))
+    gt = jax.random.randint(jax.random.PRNGKey(7), (B, H, H), 0, C)
+
+    out = jax.jit(
+        lambda inp, g, k: sample_with_sgg(
+            diff_fn, sched, seg_fn, sr_fn, inp, g, k,
+            lam=1.0, num_steps=6, num_classes=C, mode="fixed", start_t=3,
+        )
+    )(x0, gt, jax.random.PRNGKey(8))
+    assert out.shape == (B, H, H, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sample_with_sgg_reference_mode_matches_unguided_chain():
+    """In reference mode translation.py:90 overwrites the guided xt, so the
+    trajectory is exactly the unguided mu+sigma chain."""
+    sched = linear_schedule(6)
+    diff_fn = lambda xt, t: 0.1 * xt
+    sr_fn = lambda x: jnp.repeat(jnp.repeat(x, 4, 1), 4, 2)
+    gt = jnp.zeros((B, H, H), dtype=jnp.int32)
+    x0 = jnp.ones((B, h, h, 3)) * 0.2
+    key = jax.random.PRNGKey(9)
+
+    out = sample_with_sgg(
+        diff_fn, sched, linear_seg_fn, sr_fn, x0, gt, key,
+        lam=5.0, num_steps=6, num_classes=C, mode="reference", start_t=4,
+    )
+    out_nolam = sample_with_sgg(
+        diff_fn, sched, linear_seg_fn, sr_fn, x0, gt, key,
+        lam=0.0, num_steps=6, num_classes=C, mode="reference", start_t=4,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_nolam), rtol=1e-5)

@@ -1,0 +1,174 @@
+"""Losses, optimizers/schedules, and streaming metrics vs torch/numpy
+oracles (torch CPU is available in-image; reference formulas:
+seg_model/utils/loss.py, utils/scheduler.py, metrics/stream_metrics.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from weatherconverter_tpu.metrics.stream import (
+    StreamSegMetrics,
+    compute_metrics,
+    confusion_update,
+    init_confusion,
+)
+from weatherconverter_tpu.training.losses import (
+    cross_entropy_loss,
+    focal_loss,
+    make_seg_loss,
+    mse_loss,
+)
+from weatherconverter_tpu.training.optim import (
+    make_seg_optimizer,
+    poly_lr,
+    sgd,
+    step_lr,
+)
+
+
+def rand_logits_labels(seed=0, b=2, h=8, w=8, c=5, ignore_frac=0.2):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(b, h, w, c).astype(np.float32)
+    labels = rng.randint(0, c, (b, h, w)).astype(np.int32)
+    mask = rng.rand(b, h, w) < ignore_frac
+    labels[mask] = 255
+    return logits, labels
+
+
+def test_ce_matches_torch_ignore_index():
+    logits, labels = rand_logits_labels()
+    ours = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    tl = torch.from_numpy(logits).permute(0, 3, 1, 2)  # NCHW for torch
+    tt = torch.from_numpy(labels.astype(np.int64))
+    want = TF.cross_entropy(tl, tt, ignore_index=255).item()
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
+def test_ce_all_ignored_is_finite():
+    logits, labels = rand_logits_labels()
+    labels[:] = 255
+    out = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    assert np.isfinite(out) and out == 0.0
+
+
+def test_focal_matches_reference_formula():
+    """reference seg_model/utils/loss.py:15-20: ce(none) -> pt=exp(-ce) ->
+    alpha*(1-pt)^gamma*ce -> mean (over valid pixels here)."""
+    logits, labels = rand_logits_labels(ignore_frac=0.0)
+    tl = torch.from_numpy(logits).permute(0, 3, 1, 2)
+    tt = torch.from_numpy(labels.astype(np.int64))
+    ce = TF.cross_entropy(tl, tt, reduction="none", ignore_index=255)
+    pt = torch.exp(-ce)
+    want = (1.0 * (1 - pt) ** 2 * ce).mean().item()
+    ours = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels), alpha=1.0, gamma=2.0))
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
+def test_make_seg_loss_dispatch():
+    logits, labels = rand_logits_labels()
+    for t in ("CrossEntropyLoss", "FocalLoss"):
+        fn = make_seg_loss(t, {"ignore_index": 255})
+        v = float(fn(jnp.asarray(logits), jnp.asarray(labels)))
+        assert np.isfinite(v)
+    with pytest.raises(ValueError):
+        make_seg_loss("nope")
+
+
+def test_mse_matches_torch():
+    rng = np.random.RandomState(1)
+    a, b = rng.randn(4, 3), rng.randn(4, 3)
+    ours = float(mse_loss(jnp.asarray(a), jnp.asarray(b)))
+    want = TF.mse_loss(torch.from_numpy(a), torch.from_numpy(b)).item()
+    np.testing.assert_allclose(ours, want, rtol=1e-6)
+
+
+def test_poly_lr_matches_reference():
+    """reference seg_model/utils/scheduler.py:10-12."""
+    sch = poly_lr(0.01, max_iters=100, power=0.9, min_lr=1e-6)
+    for it in [0, 1, 50, 99, 100, 500]:
+        got = float(sch(it))
+        want = max(0.01 * (1 - min(it, 100) / 100) ** 0.9, 1e-6)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_step_lr():
+    sch = step_lr(0.1, step_size=10, gamma=0.5)
+    assert float(sch(0)) == pytest.approx(0.1)
+    assert float(sch(10)) == pytest.approx(0.05)
+    assert float(sch(25)) == pytest.approx(0.025)
+
+
+def test_sgd_matches_torch_coupled_weight_decay():
+    """torch.optim.SGD(momentum=0.9, weight_decay=1e-4) semantics
+    (reference: seg_model/train.py:333-344)."""
+    w0 = np.array([1.0, -2.0, 3.0], dtype=np.float32)
+    g = np.array([0.1, 0.2, -0.3], dtype=np.float32)
+    lr, mom, wd = 0.01, 0.9, 1e-4
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.SGD([tw], lr=lr, momentum=mom, weight_decay=wd)
+    for _ in range(3):
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    tx = sgd(lr, momentum=mom, weight_decay=wd)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5)
+
+
+def test_layerwise_optimizer_scales_backbone():
+    class OptCfg:
+        params = {"lr": 0.1, "momentum": 0.0, "weight_decay": 0.0}
+        layerwise_lr = {"backbone": 0.01, "classifier": 0.1}
+
+    params = {"backbone": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+    tx = make_seg_optimizer(params, OptCfg, max_iters=100, sched_type="constant")
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    bb = float(updates["backbone"]["w"][0])
+    hd = float(updates["head"]["w"][0])
+    np.testing.assert_allclose(bb, -0.01, rtol=1e-6)
+    np.testing.assert_allclose(hd, -0.1, rtol=1e-6)
+
+
+def test_confusion_matrix_matches_reference_fast_hist():
+    """reference stream_metrics.py:49-55."""
+    rng = np.random.RandomState(2)
+    C = 4
+    gt = rng.randint(0, C, (100,))
+    pred = rng.randint(0, C, (100,))
+    gt[:10] = 255  # ignored
+    conf = confusion_update(init_confusion(C), jnp.asarray(pred), jnp.asarray(gt), C)
+
+    mask = (gt >= 0) & (gt < C)
+    want = np.bincount(C * gt[mask] + pred[mask], minlength=C * C).reshape(C, C)
+    np.testing.assert_array_equal(np.asarray(conf), want)
+
+
+def test_metrics_derivation():
+    conf = np.array([[5, 1], [2, 8]], dtype=np.float64)
+    m = compute_metrics(conf)
+    np.testing.assert_allclose(m["Overall Acc"], 13 / 16)
+    iu0 = 5 / (6 + 7 - 5)
+    iu1 = 8 / (10 + 9 - 8)
+    np.testing.assert_allclose(m["Mean IoU"], (iu0 + iu1) / 2)
+    assert set(m["Class IoU"].keys()) == {0, 1}
+
+
+def test_stream_metrics_interface():
+    sm = StreamSegMetrics(3)
+    sm.update(np.array([0, 1, 2, 255]), np.array([0, 1, 1, 0]))
+    r = sm.get_results()
+    assert 0.0 <= r["Mean IoU"] <= 1.0
+    sm.reset()
+    assert sm.get_results()["Overall Acc"] == 0.0

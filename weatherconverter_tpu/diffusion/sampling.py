@@ -1,0 +1,186 @@
+"""Scan-based DDPM/DDIM samplers.
+
+TPU-first re-design of the reference's Python sampling loops
+(reference: diffusion_model/sample_ddpm.py:23-53 and
+sample_integrated.py:40-67): instead of 1000 sequential Python iterations each
+launching its own kernels, the whole reverse process is ONE `jax.lax.scan`
+with the UNet inlined in the body, compiled once by XLA. The per-step
+randomness is threaded functionally by pre-splitting the key inside the scan.
+
+Three samplers:
+  - `ddpm_sample`        : ancestral sampling with the modern eps-UNet and the
+                           true-posterior variance (reference sample_ddpm.py:35-44).
+  - `ddpm_sample_legacy` : the `sample_integrated.py` variant — legacy UNet
+                           conditioned on one_minus_cum_prod[t] (reference
+                           sample_integrated.py:57-64) and sigma^2 = beta_t
+                           (scheduler `sample_prev_timestep2`, reference
+                           linear_noise_scheduler.py:63-77).
+  - `ddim_sample`        : framework extension — strided deterministic/eta
+                           sampling (Song et al. 2020) for fast inference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from weatherconverter_tpu.diffusion.schedule import (
+    NoiseSchedule,
+    VarianceMode,
+    _bcast,
+    ddpm_step,
+    posterior_mean,
+    posterior_sigma,
+    predict_x0,
+)
+
+# apply_fn(xt, t) -> eps_hat; params already closed over (e.g. via
+# functools.partial(model.apply, {'params': params})).
+ApplyFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def ddpm_sample(
+    apply_fn: ApplyFn,
+    sched: NoiseSchedule,
+    key: jax.Array,
+    shape: Sequence[int],
+    num_steps: int | None = None,
+    mode: VarianceMode = "posterior",
+    return_trajectory_every: int = 0,
+) -> jax.Array:
+    """Full ancestral reverse process as one lax.scan.
+
+    Equivalent to `sample` (reference: sample_ddpm.py:23-53): start from
+    xt ~ N(0, I), run T steps of eps-prediction + posterior step, adding
+    sigma*z for t > 0. Returns x0 in [-1, 1] (UNCLAMPED — the reference
+    clamps at the PIL boundary, sample_ddpm.py:47; use `to_uint8` for that).
+
+    With `return_trajectory_every = k > 0`, also returns every k-th
+    intermediate (the reference's visualizer strips, visualizer.py:74-109).
+    """
+    T = num_steps if num_steps is not None else sched.T
+    key, init_key = jax.random.split(key)
+    xt = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+    ts = jnp.arange(T - 1, -1, -1)
+
+    def body(carry, t):
+        xt, key = carry
+        key, nkey = jax.random.split(key)
+        eps = apply_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
+        noise = jax.random.normal(nkey, xt.shape, dtype=xt.dtype)
+        xt = ddpm_step(sched, xt, eps, t, noise, mode=mode)
+        out = xt if return_trajectory_every else None
+        return (xt, key), out
+
+    (x0, _), traj = jax.lax.scan(body, (xt, key), ts)
+    if return_trajectory_every:
+        return x0, traj[:: return_trajectory_every]
+    return x0
+
+
+def ddpm_sample_legacy(
+    apply_fn: ApplyFn,
+    sched: NoiseSchedule,
+    key: jax.Array,
+    shape: Sequence[int],
+    num_steps: int | None = None,
+) -> jax.Array:
+    """Legacy-checkpoint sampling loop (reference: sample_integrated.py:40-67):
+    the model is conditioned on the scalar one_minus_cum_prod[t] (fed as an
+    image-plane embedding inside LegacyUNet) and the reverse step uses
+    sigma^2 = beta_t (`sample_prev_timestep2`)."""
+    T = num_steps if num_steps is not None else sched.T
+    key, init_key = jax.random.split(key)
+    xt = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+    ts = jnp.arange(T - 1, -1, -1)
+
+    def body(carry, t):
+        xt, key = carry
+        key, nkey = jax.random.split(key)
+        cond = jnp.full((xt.shape[0],), sched.one_minus_cum_prod[t], dtype=jnp.float32)
+        eps = apply_fn(xt, cond)
+        noise = jax.random.normal(nkey, xt.shape, dtype=xt.dtype)
+        xt = ddpm_step(sched, xt, eps, t, noise, mode="beta")
+        return (xt, key), None
+
+    (x0, _), _ = jax.lax.scan(body, (xt, key), ts)
+    return x0
+
+
+def ddim_sample(
+    apply_fn: ApplyFn,
+    sched: NoiseSchedule,
+    key: jax.Array,
+    shape: Sequence[int],
+    num_steps: int = 50,
+    eta: float = 0.0,
+) -> jax.Array:
+    """Strided DDIM sampler (framework extension; no reference equivalent).
+
+    tau is an even stride over [0, T); eta = 0 gives the deterministic DDIM
+    ODE, eta = 1 recovers ancestral-DDPM-like variance on the subsequence.
+    """
+    T = sched.T
+    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
+    tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+    key, init_key = jax.random.split(key)
+    xt = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+
+    def body(carry, tpair):
+        xt, key = carry
+        t, tp = tpair
+        key, nkey = jax.random.split(key)
+        eps = apply_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
+        acp_t = sched.alpha_cum_prod[t]
+        acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
+        x0 = predict_x0(sched, xt, eps, t)
+        x0 = jnp.clip(x0, -1.0, 1.0)
+        sigma = eta * jnp.sqrt((1 - acp_p) / (1 - acp_t)) * jnp.sqrt(1 - acp_t / acp_p)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - acp_p - sigma**2, 0.0)) * eps
+        noise = jax.random.normal(nkey, xt.shape, dtype=xt.dtype)
+        xt = jnp.sqrt(acp_p) * x0 + dir_xt + sigma * noise
+        return (xt, key), None
+
+    (x0, _), _ = jax.lax.scan(body, (xt, key), (taus, tau_prev))
+    return x0
+
+
+def partial_forward_then_reverse(
+    apply_fn: ApplyFn,
+    sched: NoiseSchedule,
+    key: jax.Array,
+    x0: jax.Array,
+    start_t: int,
+    mode: VarianceMode = "posterior",
+) -> jax.Array:
+    """q-sample x0 to a fixed t, then run the reverse chain from there — the
+    skeleton of `sample_with_sgg` without guidance (reference:
+    translation.py:63-74 forward-diffuses the input to a random t < N then
+    denoises). `start_t` is static (the reference draws it on the host)."""
+    key, nkey = jax.random.split(key)
+    noise = jax.random.normal(nkey, x0.shape, dtype=x0.dtype)
+    sac = sched.sqrt_alpha_cum_prod[start_t]
+    soc = sched.sqrt_one_minus_alpha_cum_prod[start_t]
+    xt = sac * x0 + soc * noise
+    ts = jnp.arange(start_t, -1, -1)
+
+    def body(carry, t):
+        xt, key = carry
+        key, nkey = jax.random.split(key)
+        eps = apply_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
+        z = jax.random.normal(nkey, xt.shape, dtype=xt.dtype)
+        xt = ddpm_step(sched, xt, eps, t, z, mode=mode)
+        return (xt, key), None
+
+    (out, _), _ = jax.lax.scan(body, (xt, key), ts)
+    return out
+
+
+def to_uint8(x: jax.Array) -> jax.Array:
+    """[-1,1] -> uint8 [0,255] (the reference's clamp + (x+1)/2 rescale,
+    sample_ddpm.py:47-48)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    return ((x + 1.0) * 127.5).astype(jnp.uint8)

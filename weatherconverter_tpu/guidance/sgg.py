@@ -1,0 +1,161 @@
+"""Semantic Gradient Guidance (SGG) — global (GSG) and local class-wise (LCG)
+guidance operators as pure, differentiable-through JAX functions.
+
+Re-design of reference sgg/sgg.py (apply_gsg 9-24, apply_lcg 27-60) and the
+gradient probe in seg_model/inference.py (infer 118-152,
+compute_gradient_magnitude 36-53). The reference computes the seg input
+gradient with an explicit autograd round-trip (forward, loss.backward(),
+read `input.grad`) and then bounces the gradient through numpy on the CPU
+(inference.py:39-46 — `.cpu().numpy()` inside the 500-step sampling loop).
+Here the whole operator is `jax.grad` of the CE w.r.t. the upscaled latent,
+fused by XLA into the surrounding jitted sampling scan: no host round-trips,
+no per-step recompilation.
+
+Formulas (reference sgg.py:13-14, 30-33):
+    L_global(x_t, y)    = L_CE(g(sr(x_t)), y)
+    mu_hat(x_t, t)      = mu(x_t, t) + lambda * sigma_t * ||d L / d sr(x_t)||
+    x_t^c               = mu_hat_c + sigma_t            (per class c for LCG)
+    x_t                 = sum_c m_c * x_t^c             (LCG recombine)
+
+Known reference defects, handled behind `mode`:
+  - 'reference': x_t-update adds +sigma (not +sigma*z) exactly as
+    sgg.py:23,54 do, and translation.py:90 then OVERWRITES the guided x_t
+    with mu + sigma. We reproduce the arithmetic of the guidance ops
+    faithfully, but note the overwrite lives in the translation loop
+    (guidance/translate.py), not here.
+  - 'fixed': adds sigma * z with fresh standard normal z (proper ancestral
+    noise) and, for LCG, falls back to the unguided step at pixels covered
+    by no class mask (the reference would zero them).
+  - The reference recombination multiplies 128px latents by 512px masks
+    (sgg.py:58 — a latent shape bug that cannot execute). We downsample the
+    class masks to latent resolution (nearest) for the recombine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from weatherconverter_tpu.ops.image import avg_pool, resize_nearest
+from weatherconverter_tpu.training.losses import cross_entropy_loss
+
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# seg_logits_fn(x) -> (B, H, W, num_classes); closed over params/batch_stats.
+SegFn = Callable[[jax.Array], jax.Array]
+
+
+def seg_ce(seg_fn: SegFn, x: jax.Array, gt: jax.Array) -> jax.Array:
+    """CE(ignore=255) of the frozen seg model vs gt (reference:
+    inference.py:124,137)."""
+    return cross_entropy_loss(seg_fn(x), gt, ignore_index=255)
+
+
+def seg_input_gradients(seg_fn: SegFn, x: jax.Array, gt: jax.Array) -> jax.Array:
+    """d L_CE / d x — the reference's `infer` input-gradient probe
+    (reference: inference.py:131-143) as one jax.grad."""
+    return jax.grad(lambda img: seg_ce(seg_fn, img, gt))(x)
+
+
+def gradient_magnitude(
+    grads: jax.Array, denormalize: bool = True, norm: bool = False
+) -> jax.Array:
+    """L2-over-channels magnitude, optionally un-doing the ImageNet std
+    normalization first (reference: compute_gradient_magnitude,
+    inference.py:36-53 — which runs on numpy/CPU; this is pure jnp).
+    NHWC in -> (B, H, W, 1) out."""
+    g = grads.astype(jnp.float32)
+    if denormalize:
+        g = g * jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+    mag = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+    if norm:
+        mn = jnp.min(mag, axis=(1, 2, 3), keepdims=True)
+        mx = jnp.max(mag, axis=(1, 2, 3), keepdims=True)
+        mag = (mag - mn) / jnp.maximum(mx - mn, 1e-12)
+    return mag
+
+
+def guidance_field(
+    seg_fn: SegFn, sr_xt: jax.Array, gt: jax.Array, pool: int = 4
+) -> jax.Array:
+    """The shared GSG/LCG pipeline: input-grad -> avg-pool (512->128,
+    reference sgg.py:18,49) -> denormalized magnitude. Returns (B, h, w, 1)
+    at latent resolution."""
+    grads = seg_input_gradients(seg_fn, sr_xt, gt)
+    grads_small = avg_pool(grads, pool, pool)
+    return gradient_magnitude(grads_small, denormalize=True, norm=False)
+
+
+def apply_gsg(
+    seg_fn: SegFn,
+    mu: jax.Array,
+    sigma: jax.Array,
+    sr_xt: jax.Array,
+    gt: jax.Array,
+    lam: float,
+    noise: jax.Array | None = None,
+    mode: str = "fixed",
+) -> jax.Array:
+    """Global guidance (reference: sgg.py:9-24): one seg grad on the full
+    image; mu_hat = mu + lambda*sigma*||grad||; x_t = mu_hat (+ sigma or
+    + sigma*z per mode). The pool factor is derived from the HR/latent
+    resolution ratio (the reference hardcodes 4 for 512/128, sgg.py:18)."""
+    mag = guidance_field(seg_fn, sr_xt, gt, pool=sr_xt.shape[1] // mu.shape[1])
+    mu_hat = mu + lam * sigma * mag
+    if mode == "reference" or noise is None:
+        return mu_hat + sigma
+    return mu_hat + sigma * noise
+
+
+def apply_lcg(
+    seg_fn: SegFn,
+    mu: jax.Array,
+    sigma: jax.Array,
+    sr_xt: jax.Array,
+    gt: jax.Array,
+    lam: float,
+    num_classes: int = 19,
+    noise: jax.Array | None = None,
+    mode: str = "fixed",
+) -> jax.Array:
+    """Local class-wise guidance (reference: sgg.py:27-60): for each class c,
+    mask image+label by m_c, compute the guidance field, form x_t^c, and
+    recombine x_t = sum_c m_c * x_t^c.
+
+    The 19-iteration Python loop of the reference becomes a `lax.map` over a
+    stacked class axis — sequential (memory-bounded: one 512px seg fwd+bwd
+    live at a time, each rematerialized) but fully inside one compiled
+    program. Masks are downsampled to latent resolution for the recombine
+    (fixing the reference's 512px-mask x 128px-latent shape bug, sgg.py:58).
+    """
+    classes = jnp.arange(num_classes, dtype=jnp.int32)
+    pool = sr_xt.shape[1] // mu.shape[1]
+
+    def per_class(c):
+        mc = (gt == c).astype(sr_xt.dtype)  # (B, H, W)
+        xm = sr_xt * mc[..., None]
+        gm = (gt * mc.astype(gt.dtype)).astype(gt.dtype)  # label 0 outside c (ref sgg.py:45)
+        mag = guidance_field(seg_fn, xm, gm, pool=pool)
+        return mag, mc
+
+    mags, mcs = jax.lax.map(jax.checkpoint(per_class), classes)
+    # mags: (C, B, h, w, 1); mcs: (C, B, H, W)
+    mu_hat_c = mu[None] + lam * sigma[None] * mags
+    if mode == "reference" or noise is None:
+        xt_c = mu_hat_c + sigma[None]
+    else:
+        xt_c = mu_hat_c + sigma[None] * noise[None]
+
+    h, w = mu.shape[1], mu.shape[2]
+    mc_small = resize_nearest(mcs.reshape((-1,) + mcs.shape[2:] + (1,)), (h, w))
+    mc_small = mc_small.reshape(mcs.shape[:2] + (h, w, 1))
+    xt = jnp.sum(xt_c * mc_small, axis=0)
+
+    if mode != "reference":
+        covered = jnp.clip(jnp.sum(mc_small, axis=0), 0.0, 1.0)
+        base = mu + (sigma * noise if noise is not None else sigma)
+        xt = xt + (1.0 - covered) * base
+    return xt

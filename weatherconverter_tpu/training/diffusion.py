@@ -1,0 +1,133 @@
+"""DDPM training: functional train state + jitted data-parallel train step.
+
+Capability parity with the reference training loop
+(reference: diffusion_model/train_ddpm.py:71-144): per step draw
+t ~ U[0, T), noise ~ N(0, I), q-sample, predict eps with the UNet, MSE loss,
+Adam update. TPU-first differences:
+
+  - The whole step (sampling t/noise INCLUDED — the reference does these on
+    host, train_ddpm.py:99-102) is one jitted function; RNG is a threaded
+    jax.random key.
+  - Data parallelism: batch arrays arrive sharded over the ('data',) mesh
+    axis, params/opt-state replicated; XLA inserts the gradient all-reduce
+    over ICI (SURVEY.md §2.4 — absent in the reference, first-class here).
+  - bf16 compute / f32 params + f32 loss accumulation; the train state is
+    donated so params are updated in place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from weatherconverter_tpu.diffusion.schedule import NoiseSchedule, q_sample
+from weatherconverter_tpu.training.losses import mse_loss
+from weatherconverter_tpu.training import optim as optim_lib
+
+
+class DDPMTrainState(train_state.TrainState):
+    """params + Adam state + step counter — the functional analog of the
+    reference's {model_state_dict, optimizer_state_dict, epoch} checkpoint
+    dict (reference: train_ddpm.py:56-60)."""
+
+    epoch: int = 0
+
+
+def create_ddpm_state(
+    model,
+    key: jax.Array,
+    im_size: int,
+    im_channels: int = 3,
+    lr: float = 1e-4,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> DDPMTrainState:
+    """Initialize UNet params (NHWC dummy batch) and Adam(lr) as in the
+    reference (train_ddpm.py:187-190)."""
+    dummy_x = jnp.zeros((1, im_size, im_size, im_channels), dtype=jnp.float32)
+    dummy_t = jnp.zeros((1,), dtype=jnp.int32)
+    variables = model.init(key, dummy_x, dummy_t)
+    tx = tx if tx is not None else optim_lib.adam(lr)
+    return DDPMTrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+
+
+def ddpm_loss_fn(
+    params, apply_fn, sched: NoiseSchedule, images: jax.Array, key: jax.Array
+):
+    """Draw (t, noise), q-sample, eps-MSE (reference: train_ddpm.py:99-108)."""
+    tkey, nkey = jax.random.split(key)
+    b = images.shape[0]
+    t = jax.random.randint(tkey, (b,), 0, sched.T)
+    noise = jax.random.normal(nkey, images.shape, dtype=images.dtype)
+    xt = q_sample(sched, images, noise, t)
+    eps_hat = apply_fn({"params": params}, xt, t)
+    return mse_loss(eps_hat, noise)
+
+
+def train_step(
+    state: DDPMTrainState, images: jax.Array, key: jax.Array, sched: NoiseSchedule
+):
+    """One un-jitted DDPM step; see `make_train_step` for the compiled,
+    mesh-sharded version."""
+    loss, grads = jax.value_and_grad(ddpm_loss_fn)(
+        state.params, state.apply_fn, sched, images, key
+    )
+    return state.apply_gradients(grads=grads), loss
+
+
+def make_train_step(sched: NoiseSchedule, mesh: Optional[Mesh] = None, donate: bool = True):
+    """Compile the DDPM train step, optionally laid out over a DP mesh.
+
+    With a mesh, `images` must be sharded over ('data',) on its batch dim and
+    the state replicated (see parallel.sharding.shard_batch / replicate);
+    jit then compiles per-device compute + one ICI psum for the grads.
+    """
+    step = partial(train_step, sched=sched)
+    kwargs: dict[str, Any] = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (rep, data, rep)
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_loss(sched: NoiseSchedule, mesh: Optional[Mesh] = None):
+    """Jitted eval-only eps-MSE at fixed key (deterministic val loss; the
+    reference has no diffusion val loop — framework extension)."""
+
+    def eval_loss(params, apply_fn_static, images, key):
+        return ddpm_loss_fn(params, apply_fn_static, sched, images, key)
+
+    return eval_loss
+
+
+@struct.dataclass
+class EMA:
+    """Exponential moving average of params (framework extension — standard
+    DDPM practice; the reference trains without EMA, which is one reason its
+    only usable checkpoint is the legacy 1000-epoch one)."""
+
+    decay: float
+    params: Any
+
+    @classmethod
+    def create(cls, params, decay: float = 0.999) -> "EMA":
+        return cls(decay=decay, params=jax.tree_util.tree_map(jnp.asarray, params))
+
+    def update(self, new_params) -> "EMA":
+        d = self.decay
+        upd = jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), self.params, new_params
+        )
+        return self.replace(params=upd)
