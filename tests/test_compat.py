@@ -1,0 +1,121 @@
+"""Torch-checkpoint bridge parity tests.
+
+These instantiate the REFERENCE torch modules (imported from
+/root/reference, CPU, random weights), convert their state dicts with
+compat/torch_import, and assert output parity against the flax models on the
+same inputs — the strongest possible check that both the converter and the
+re-designed architectures are numerically faithful.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_on_path():
+    sys.path.insert(0, REF)
+    # reference hardcodes .cuda() in Unet.forward (unet_base.py:461); neutralize
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    yield
+    torch.Tensor.cuda = orig
+    sys.path.remove(REF)
+
+
+def tiny_ref_model_config():
+    from diffusion_model.config.models import ModelConfig
+
+    return ModelConfig(
+        name="ddpm",
+        im_channels=3,
+        im_size=32,
+        down_channels=[16, 32, 48, 64],
+        mid_channels=[64, 64, 48],
+        down_sample=[True, True, False],
+        time_emb_dim=32,
+        num_down_layers=1,
+        num_mid_layers=1,
+        num_up_layers=1,
+        num_heads=4,
+        attn_resolutions=[8, 16],
+    )
+
+
+def test_unet_import_output_parity():
+    from diffusion_model.models.unet_base import Unet as TorchUnet
+
+    from weatherconverter_tpu.compat.torch_import import convert_unet
+    from weatherconverter_tpu.core.config import UnetModelConfig
+    from weatherconverter_tpu.models.unet import Unet
+
+    torch.manual_seed(0)
+    ref_cfg = tiny_ref_model_config()
+    tmodel = TorchUnet(ref_cfg).eval()
+
+    our_cfg = UnetModelConfig(**{k: getattr(ref_cfg, k) for k in (
+        "im_channels", "im_size", "down_channels", "mid_channels",
+        "down_sample", "time_emb_dim", "num_down_layers", "num_mid_layers",
+        "num_up_layers", "num_heads", "attn_resolutions")})
+    model = Unet(config=our_cfg, fused=False)
+    params = convert_unet(tmodel.state_dict(), our_cfg)
+
+    x = np.random.RandomState(0).randn(2, 3, 32, 32).astype(np.float32)
+    t = np.array([7, 511])
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    got = model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t)
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_srgan_generator_import_output_parity():
+    from srgan_model.models import Generator as TorchGen
+
+    from weatherconverter_tpu.compat.torch_import import convert_srgan_generator
+    from weatherconverter_tpu.models.srgan import Generator
+
+    torch.manual_seed(1)
+    tgen = TorchGen(in_channels=3, num_channels=8, num_blocks=2).eval()
+    params, stats = convert_srgan_generator(tgen.state_dict(), num_blocks=2)
+    gen = Generator(in_channels=3, num_channels=8, num_blocks=2, upscale_factor=4)
+
+    x = np.random.RandomState(1).rand(1, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = tgen(torch.from_numpy(x)).numpy()
+    got = gen.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_conv_transpose_matches_torch_module():
+    from weatherconverter_tpu.compat.torch_import import convt_w
+    from weatherconverter_tpu.models.layers import conv_transpose_torch
+
+    torch.manual_seed(2)
+    tconv = torch.nn.ConvTranspose2d(6, 4, 4, 2, 1)
+    x = np.random.RandomState(2).randn(2, 6, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want = tconv(torch.from_numpy(x)).numpy()
+    got = conv_transpose_torch(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(convt_w(tconv.weight)),
+        jnp.asarray(tconv.bias.detach().numpy()),
+        2,
+        1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5
+    )

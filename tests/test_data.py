@@ -1,0 +1,170 @@
+"""Data pipeline tests: dataset discovery on synthetic trees, label
+encode/decode LUTs, on-device transforms, and the prefetching loader."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from weatherconverter_tpu.data.datasets import (
+    DiffusionImageDataset,
+    SegPairedDataset,
+)
+from weatherconverter_tpu.data.labels import (
+    ID_TO_TRAIN_ID,
+    decode_target,
+    encode_target,
+    get_train_ids,
+)
+from weatherconverter_tpu.data.loader import DataLoader
+from weatherconverter_tpu.data import transforms as T
+
+
+def _write_img(path, hw=(40, 60), value=128):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.full(hw + (3,), value, dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _write_label(path, hw=(40, 60), raw_id=7):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.full(hw, raw_id, dtype=np.uint8)
+    Image.fromarray(arr, mode="L").save(path)
+
+
+@pytest.fixture()
+def diffusion_tree(tmp_path):
+    root = tmp_path / "ACDC_images"
+    for cond in ("rain", "fog"):
+        for split in ("train", "val", "test"):
+            _write_img(str(root / cond / split / "seq" / f"a_{split}.png"))
+    bdd = tmp_path / "BDD"
+    _write_img(str(bdd / "rain" / "b.jpg"))
+    return str(root), str(bdd)
+
+
+def test_diffusion_dataset_discovery_and_merge(diffusion_tree):
+    root, bdd = diffusion_tree
+    ds = DiffusionImageDataset(root, ("rain", "fog"), resize_to=32)
+    assert len(ds) == 6  # 2 conds x 3 splits
+    ds.add_images(bdd)
+    assert len(ds) == 7
+    img = ds[0]
+    assert img.dtype == np.uint8
+    assert min(img.shape[:2]) == 32  # smallest side pinned
+
+
+@pytest.fixture()
+def seg_tree(tmp_path):
+    root = tmp_path / "ACDC"
+    for cond in ("fog", "rain"):
+        _write_img(str(root / "rgb_anon" / cond / "train" / "s1" / f"{cond}_x_rgb_anon.png"))
+        _write_label(str(root / "gt" / cond / "train" / "s1" / f"{cond}_x_gt_labelIds.png"))
+    # an image without a matching label must be skipped
+    _write_img(str(root / "rgb_anon" / "fog" / "train" / "s1" / "orphan_rgb_anon.png"))
+    return str(root)
+
+
+def test_seg_dataset_pairing_and_encoding(seg_tree):
+    ds = SegPairedDataset(seg_tree, split="train", weather=("fog", "rain"), resize_hw=(20, 30))
+    assert len(ds) == 2  # orphan skipped
+    img, lbl = ds[0]
+    assert img.shape == (20, 30, 3) and lbl.shape == (20, 30)
+    # raw id 7 (road) -> train id 0
+    assert np.all(lbl == 0)
+
+
+def test_label_luts():
+    assert ID_TO_TRAIN_ID[7] == 0  # road
+    assert ID_TO_TRAIN_ID[26] == 13  # car
+    assert ID_TO_TRAIN_ID[0] == 255  # unlabeled -> ignore
+    assert len(get_train_ids()) == 19
+    enc = encode_target(np.array([[7, 26, 0]], dtype=np.uint8))
+    np.testing.assert_array_equal(enc, [[0, 13, 255]])
+    colors = decode_target(np.array([0, 13, 255]))
+    np.testing.assert_array_equal(colors[0], [128, 64, 128])  # road color
+    np.testing.assert_array_equal(colors[2], [0, 0, 0])  # ignore -> black
+
+
+def test_random_crop_paired_alignment():
+    key = jax.random.PRNGKey(0)
+    # image encodes its own coordinates so we can verify crop alignment
+    h = w = 16
+    coords = jnp.arange(h * w, dtype=jnp.float32).reshape(1, h, w, 1)
+    img = jnp.tile(coords, (2, 1, 1, 3))
+    lbl = jnp.tile(coords[..., 0].astype(jnp.int32), (2, 1, 1))
+    ci, cl = T.random_crop(key, img, (8, 8), labels=lbl)
+    np.testing.assert_array_equal(np.asarray(ci[..., 0]).astype(np.int32), np.asarray(cl))
+
+
+def test_random_hflip_paired():
+    key = jax.random.PRNGKey(1)
+    img = jnp.arange(8, dtype=jnp.float32).reshape(1, 1, 8, 1).repeat(3, axis=-1)
+    lbl = jnp.arange(8, dtype=jnp.int32).reshape(1, 1, 8)
+    fi, fl = T.random_hflip(key, img, p=1.0, labels=lbl)
+    np.testing.assert_array_equal(np.asarray(fi[..., 0]).astype(np.int32), np.asarray(fl))
+    np.testing.assert_array_equal(np.asarray(fl[0, 0]), np.arange(8)[::-1])
+
+
+def test_color_jitter_and_noise_ranges():
+    key = jax.random.PRNGKey(2)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (4, 8, 8, 3))
+    out = T.color_jitter(key, x, 0.2, 0.2, 0.2)
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    noised = T.add_gaussian_noise(key, x, 0.1, (0.0, 0.05))
+    assert float(noised.min()) >= 0.0 and float(noised.max()) <= 1.0
+
+
+def test_class_wise_masking_keeps_one_class():
+    key = jax.random.PRNGKey(4)
+    lbl = jnp.zeros((1, 8, 8), dtype=jnp.int32)
+    lbl = lbl.at[:, :, 4:].set(2)  # half road(0), half building(2)
+    img = jnp.ones((1, 8, 8, 3))
+    out_img, out_lbl = T.class_wise_masking(key, img, lbl, p=1.0, num_classes_to_keep=1)
+    kept = np.unique(np.asarray(out_lbl))
+    assert 255 in kept and len(kept) == 2  # one class kept, rest ignored
+    # masked pixels are black
+    masked = np.asarray(out_lbl) == 255
+    assert np.all(np.asarray(out_img)[masked] == 0)
+
+
+def test_diffusion_augment_range():
+    key = jax.random.PRNGKey(5)
+    imgs = jnp.full((2, 20, 20, 3), 128, dtype=jnp.uint8)
+    out = T.diffusion_train_augment(key, imgs, crop=16)
+    assert out.shape == (2, 16, 16, 3)
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+
+
+def test_seg_augment_end_to_end_jits():
+    key = jax.random.PRNGKey(6)
+    imgs = jnp.full((2, 20, 20, 3), 100, dtype=jnp.uint8)
+    lbls = jnp.zeros((2, 20, 20), dtype=jnp.int32)
+    f = jax.jit(lambda k, i, l: T.seg_train_augment(k, i, l, crop=(16, 16)))
+    x, y = f(key, imgs, lbls)
+    assert x.shape == (2, 16, 16, 3) and y.shape == (2, 16, 16)
+
+
+def test_loader_prefetch_and_determinism(diffusion_tree):
+    root, _ = diffusion_tree
+    ds = DiffusionImageDataset(root, ("rain", "fog"), resize_to=32)
+
+    class Fixed:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.full((4, 4, 3), i, dtype=np.uint8)
+
+    dl = DataLoader(Fixed(), batch_size=4, shuffle=True, seed=7, num_workers=2)
+    e1 = [b[:, 0, 0, 0].tolist() for b in dl]
+    dl2 = DataLoader(Fixed(), batch_size=4, shuffle=True, seed=7, num_workers=2)
+    e2 = [b[:, 0, 0, 0].tolist() for b in dl2]
+    assert e1 == e2  # same seed+epoch -> same order
+    assert len(e1) == 2  # drop_last
+    e3 = [b[:, 0, 0, 0].tolist() for b in dl]  # second epoch reshuffles
+    assert e3 != e1 or True  # order may coincide; just ensure it runs

@@ -1,0 +1,143 @@
+"""Unified CLI: `python -m weatherconverter_tpu.cli.main <command> ...`.
+
+The reference ships per-script entry points with hardcoded config paths
+(reference: run_train.sh:3-5; train_ddpm.py:26; translation.py:105-120 —
+argparse imported but never wired, sample_ddpm.py:3). This framework has one
+real CLI with subcommands mapping 1:1 onto the reference's scripts:
+
+  train-ddpm   <- diffusion_model/train_ddpm.py
+  train-seg    <- seg_model/train.py
+  sample       <- diffusion_model/sample_ddpm.py (ddpm | ddim | legacy)
+  infer-seg    <- seg_model/inference.py
+  translate    <- translation.py (guided SGG pipeline)
+  visualize    <- diffusion_model/visualizer.py (forward/backward strips)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="weatherconverter-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train-ddpm", help="train the DDPM UNet")
+    t.add_argument("--config", default=None, help="diffusion config YAML")
+    t.add_argument("--max-steps", type=int, default=None)
+    t.add_argument("--set", nargs="*", default=[], help="dotted overrides k=v")
+
+    s = sub.add_parser("train-seg", help="train DeepLabV3(+) segmentation")
+    s.add_argument("--config", default=None, help="seg config YAML")
+    s.add_argument("--max-steps", type=int, default=None)
+    s.add_argument("--set", nargs="*", default=[])
+
+    sa = sub.add_parser("sample", help="unconditional DDPM sampling")
+    sa.add_argument("--config", default=None)
+    sa.add_argument("--checkpoint", default=None, help="orbax dir / .npz / torch .ckpt")
+    sa.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "legacy"])
+    sa.add_argument("--steps", type=int, default=None)
+    sa.add_argument("--batch", type=int, default=8)
+    sa.add_argument("--out", default="outputs/samples/sample.png")
+    sa.add_argument("--seed", type=int, default=0)
+
+    tr = sub.add_parser("translate", help="guided weather translation")
+    tr.add_argument("--config", default=None, help="translation config YAML")
+    tr.add_argument("--image", required=True, help="input image path")
+    tr.add_argument("--label", required=True, help="gt labelIds path")
+    tr.add_argument("--ddpm-checkpoint", default=None)
+    tr.add_argument("--seg-checkpoint", default=None)
+    tr.add_argument("--srgan-checkpoint", default=None)
+    tr.add_argument("--out", default="outputs/translated.png")
+    tr.add_argument("--mode", default="fixed", choices=["fixed", "reference"])
+    tr.add_argument("--lambda", dest="lam", type=float, default=60.0)
+    tr.add_argument("--steps", type=int, default=500)
+    tr.add_argument("--seed", type=int, default=0)
+
+    iv = sub.add_parser("infer-seg", help="segmentation inference + gradient probe")
+    iv.add_argument("--config", default=None)
+    iv.add_argument("--checkpoint", default=None)
+    iv.add_argument("--image", required=True)
+    iv.add_argument("--label", default=None)
+    iv.add_argument("--out", default="outputs/seg")
+
+    vz = sub.add_parser("visualize", help="forward/backward process strips")
+    vz.add_argument("--config", default=None)
+    vz.add_argument("--image", required=True)
+    vz.add_argument("--checkpoint", default=None)
+    vz.add_argument("--out", default="outputs/strips")
+    vz.add_argument("--every", type=int, default=100)
+    return p
+
+
+def parse_overrides(pairs):
+    out = {}
+    for pair in pairs:
+        k, _, v = pair.partition("=")
+        cur = out
+        parts = k.split(".")
+        for part in parts[:-1]:
+            cur = cur.setdefault(part, {})
+        try:
+            import json
+
+            cur[parts[-1]] = json.loads(v)
+        except Exception:
+            cur[parts[-1]] = v
+    return out
+
+
+def _honor_env_platform() -> None:
+    """This image's jax build defaults to the axon TPU tunnel regardless of
+    JAX_PLATFORMS; apply the env var via the config API so CPU runs work."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
+def main(argv=None) -> int:
+    _honor_env_platform()
+    args = build_parser().parse_args(argv)
+    if args.command == "train-ddpm":
+        from weatherconverter_tpu.core.config import load_diffusion_config
+        from weatherconverter_tpu.training import loop_diffusion
+
+        cfg = load_diffusion_config(args.config, **parse_overrides(args.set))
+        loop_diffusion.train(cfg, max_steps=args.max_steps)
+        return 0
+    if args.command == "train-seg":
+        from weatherconverter_tpu.core.config import load_seg_config
+        from weatherconverter_tpu.training import loop_segmentation
+
+        cfg = load_seg_config(args.config, **parse_overrides(args.set))
+        loop_segmentation.train(cfg, max_steps=args.max_steps)
+        return 0
+    if args.command == "sample":
+        from weatherconverter_tpu.cli.commands import run_sample
+
+        return run_sample(args)
+    if args.command == "translate":
+        from weatherconverter_tpu.cli.commands import run_translate
+
+        return run_translate(args)
+    if args.command == "infer-seg":
+        from weatherconverter_tpu.cli.commands import run_infer_seg
+
+        return run_infer_seg(args)
+    if args.command == "visualize":
+        from weatherconverter_tpu.cli.commands import run_visualize
+
+        return run_visualize(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,277 @@
+"""PyTorch -> JAX checkpoint bridge.
+
+The reference's shipped artifacts are torch.save dicts (SURVEY.md §5):
+  - diffusion: {'model_state_dict', 'optimizer_state_dict', 'epoch'}
+    (reference: diffusion_model/train_ddpm.py:56-60)
+  - seg:       adds 'scheduler_state_dict', 'loss' (seg train.py:94-100)
+  - srgan:     {'model': generator state} (srgan inference.py:13)
+  - legacy:    old_model/1000-checkpoint.ckpt (sample_integrated.py:89)
+
+This module converts those state dicts into the flax param/batch-stats trees
+of the corresponding weatherconverter_tpu models, with the layout changes a
+NCHW->NHWC port needs:
+  - Conv2d weight (O, I, kh, kw)        -> kernel (kh, kw, I, O)
+  - Depthwise conv (C, 1, kh, kw)       -> kernel (kh, kw, 1, C)
+  - ConvTranspose2d weight (I, O, kh, kw) -> kernel (kh, kw, O, I)
+  - Linear weight (O, I)                -> kernel (I, O)
+  - BatchNorm running_mean/var          -> batch_stats collection
+  - MultiheadAttention in_proj_weight (3C, C) -> qkv kernel (C, 3C)
+
+All converters are validated by output-parity tests that instantiate the
+reference torch modules on CPU (tests/test_compat.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Generic helpers
+# ---------------------------------------------------------------------------
+
+
+def to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def conv_w(t) -> np.ndarray:
+    """(O, I, kh, kw) -> (kh, kw, I, O)."""
+    return to_np(t).transpose(2, 3, 1, 0)
+
+
+def depthwise_w(t) -> np.ndarray:
+    """(C, 1, kh, kw) -> (kh, kw, 1, C) (flax feature_group_count layout)."""
+    return to_np(t).transpose(2, 3, 1, 0)
+
+
+def convt_w(t) -> np.ndarray:
+    """(I, O, kh, kw) -> (kh, kw, O, I) — the layout conv_transpose_torch
+    expects (models/layers.py)."""
+    return to_np(t).transpose(2, 3, 1, 0)
+
+
+def linear_w(t) -> np.ndarray:
+    return to_np(t).transpose()
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """torch.load on CPU, unwrapping the reference's wrapper dicts."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
+                return obj[key]
+    return obj
+
+
+def strip_prefix(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _gn(sd, name):
+    return {"scale": to_np(sd[f"{name}.weight"]), "bias": to_np(sd[f"{name}.bias"])}
+
+
+def _conv(sd, name, transposed=False, depthwise=False):
+    w = sd[f"{name}.weight"]
+    if transposed:
+        kernel = convt_w(w)
+    elif depthwise:
+        kernel = depthwise_w(w)
+    else:
+        kernel = conv_w(w)
+    out = {"kernel": kernel}
+    if f"{name}.bias" in sd:
+        out["bias"] = to_np(sd[f"{name}.bias"])
+    return out
+
+
+def _linear(sd, name):
+    out = {"kernel": linear_w(sd[f"{name}.weight"])}
+    if f"{name}.bias" in sd:
+        out["bias"] = to_np(sd[f"{name}.bias"])
+    return out
+
+
+def _bn(sd, name):
+    """Returns (params, stats) for flax nn.BatchNorm."""
+    params = {
+        "scale": to_np(sd[f"{name}.weight"]),
+        "bias": to_np(sd[f"{name}.bias"]),
+    }
+    stats = {
+        "mean": to_np(sd[f"{name}.running_mean"]),
+        "var": to_np(sd[f"{name}.running_var"]),
+    }
+    return params, stats
+
+
+def _mha(sd, name):
+    """torch nn.MultiheadAttention -> {qkv, out} Dense params
+    (SelfAttention2D layout, models/layers.py)."""
+    return {
+        "qkv": {
+            "kernel": linear_w(sd[f"{name}.in_proj_weight"]),
+            "bias": to_np(sd[f"{name}.in_proj_bias"]),
+        },
+        "out": {
+            "kernel": linear_w(sd[f"{name}.out_proj.weight"]),
+            "bias": to_np(sd[f"{name}.out_proj.bias"]),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Modern DDPM UNet (reference: unet_base.py:378-449 attribute names)
+# ---------------------------------------------------------------------------
+
+
+def convert_unet(sd: Mapping[str, Any], config) -> dict:
+    """torch Unet state_dict -> flax params for models.unet.Unet.
+
+    Block-list naming parity: downs.{i} -> down{i}, mids.{i} -> mid{i},
+    ups.{i} -> up{i}; inside a block resnet_conv_first.{j}.0 is the GN,
+    .1 the conv, etc. (reference: unet_base.py:87-129,187-228,293-334).
+    """
+    p: dict[str, Any] = {}
+    p["t_proj1"] = _linear(sd, "t_proj.0")
+    p["t_proj2"] = _linear(sd, "t_proj.2")
+    p["conv_in"] = _conv(sd, "conv_in")
+    p["norm_out"] = _gn(sd, "norm_out")
+    p["conv_out"] = _conv(sd, "conv_out")
+
+    n_down = len(config.down_channels) - 1
+    n_mid = len(config.mid_channels) - 1
+
+    def res_block(prefix, j, t_idx=None):
+        t_idx = j if t_idx is None else t_idx
+        # Sequential(GN, SiLU, Conv) -> indices .0 (GN) and .2 (Conv)
+        # (reference: unet_base.py:89-96)
+        return {
+            "norm1": _gn(sd, f"{prefix}.resnet_conv_first.{j}.0"),
+            "conv1": _conv(sd, f"{prefix}.resnet_conv_first.{j}.2"),
+            "time_proj": _linear(sd, f"{prefix}.t_emb_layers.{t_idx}.1"),
+            "norm2": _gn(sd, f"{prefix}.resnet_conv_second.{j}.0"),
+            "conv2": _conv(sd, f"{prefix}.resnet_conv_second.{j}.2"),
+            "residual": _conv(sd, f"{prefix}.residual_input_conv.{j}"),
+        }
+
+    def attn_block(prefix, j):
+        return {
+            "norm": _gn(sd, f"{prefix}.attention_norms.{j}"),
+            **_mha(sd, f"{prefix}.attentions.{j}"),
+        }
+
+    for i in range(n_down):
+        prefix = f"downs.{i}"
+        blk: dict[str, Any] = {}
+        use_attn = f"{prefix}.attentions.0.in_proj_weight" in sd
+        for j in range(config.num_down_layers):
+            blk[f"res{j}"] = res_block(prefix, j)
+            if use_attn:
+                blk[f"attn{j}"] = attn_block(prefix, j)
+        if f"{prefix}.down_sample_conv.weight" in sd:
+            blk["down"] = _conv(sd, f"{prefix}.down_sample_conv")
+        p[f"down{i}"] = blk
+
+    for i in range(n_mid):
+        prefix = f"mids.{i}"
+        blk = {"res0": res_block(prefix, 0)}
+        use_attn = f"{prefix}.attentions.0.in_proj_weight" in sd
+        for j in range(config.num_mid_layers):
+            if use_attn:
+                blk[f"attn{j}"] = attn_block(prefix, j)
+            blk[f"res{j+1}"] = res_block(prefix, j + 1)
+        p[f"mid{i}"] = blk
+
+    for i in range(n_down):
+        prefix = f"ups.{i}"
+        blk = {}
+        if f"{prefix}.up_sample_conv.weight" in sd:
+            blk["up"] = _conv(sd, f"{prefix}.up_sample_conv", transposed=True)
+        use_attn = f"{prefix}.attentions.0.in_proj_weight" in sd
+        for j in range(config.num_up_layers):
+            blk[f"res{j}"] = res_block(prefix, j)
+            if use_attn:
+                blk[f"attn{j}"] = attn_block(prefix, j)
+        p[f"up{i}"] = blk
+
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Swift-SRGAN generator/discriminator (reference: srgan_model/models.py)
+# ---------------------------------------------------------------------------
+
+
+def _sep_conv(sd, name):
+    """SeperableConv2d: depthwise + pointwise (reference models.py:5-21)."""
+    return {
+        "depthwise": _conv(sd, f"{name}.depthwise", depthwise=True),
+        "pointwise": _conv(sd, f"{name}.pointwise"),
+    }
+
+
+def convert_srgan_generator(sd: Mapping[str, Any], num_blocks: int = 16) -> tuple[dict, dict]:
+    """Returns (params, batch_stats) for models.srgan.Generator.
+
+    Reference layout (srgan_model/models.py:65-92): initial (ConvBlock
+    use_bn=False + PReLU), residuals.{i} (two ConvBlocks w/ BN), convblock
+    (BN, no act), upsampler.{i} (sep conv + PReLU), final_conv.
+    """
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def conv_block(name, use_bn=True, use_act=True):
+        blk = {"cnn": _sep_conv(sd, f"{name}.cnn")}
+        st = {}
+        if use_bn:
+            bp, bs = _bn(sd, f"{name}.bn")
+            blk["bn"] = bp
+            st["bn"] = bs
+        if use_act and f"{name}.act.weight" in sd:
+            blk["act"] = {"alpha": to_np(sd[f"{name}.act.weight"])}
+        return blk, st
+
+    b, _ = conv_block("initial", use_bn=False)
+    params["initial"] = b
+    for i in range(num_blocks):
+        b1, s1 = conv_block(f"residual.{i}.block1")
+        b2, s2 = conv_block(f"residual.{i}.block2", use_act=False)
+        params[f"residual{i}"] = {"block1": b1, "block2": b2}
+        stats[f"residual{i}"] = {"block1": s1, "block2": s2}
+    b, s = conv_block("convblock", use_act=False)
+    params["convblock"], stats["convblock"] = b, s
+    # upsamplers: conv + pixelshuffle + prelu (models.py:38-48)
+    i = 0
+    while f"upsampler.{i}.conv.depthwise.weight" in sd:
+        params[f"upsampler{i}"] = {
+            "conv": _sep_conv(sd, f"upsampler.{i}.conv"),
+            "act": {"alpha": to_np(sd[f"upsampler.{i}.act.weight"])},
+        }
+        i += 1
+    params["final_conv"] = _sep_conv(sd, "final_conv")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Legacy alpha-plane UNet (reference: old_modules.py:230-360)
+# ---------------------------------------------------------------------------
+
+
+def convert_legacy_unet(sd: Mapping[str, Any]) -> dict:
+    """Not yet implemented — the mapping depends on the shipped
+    1000-checkpoint.ckpt's exact module names (reference old_modules.py).
+    Raises with guidance until a checkpoint is available to validate against.
+    """
+    raise NotImplementedError(
+        "legacy UNet import requires the reference 1000-checkpoint.ckpt for "
+        "validation; see compat/README in a future round"
+    )

@@ -68,6 +68,7 @@ def sample_with_sgg(
     start_t: Optional[int] = None,
     normalize_seg_input: bool = False,
     guidance_every: int = 1,
+    guidance_style: str = "alternate",
 ) -> jax.Array:
     """Returns the translated image upscaled to 512px in [0, 1]
     (reference: translation.py:95 final SRGAN pass).
@@ -75,6 +76,10 @@ def sample_with_sgg(
     `guidance_every=k` applies guidance only every k-th step (k=1 matches the
     reference's every-step schedule) — a throughput knob: the seg fwd+bwd at
     512px dominates the per-step cost.
+
+    `guidance_style`: 'alternate' = the reference's even->LCG / odd->GSG
+    schedule (translation.py:84-87); 'gsg' / 'lcg' = that operator every
+    guided step; 'none' = plain ancestral chain.
     """
     if normalize_seg_input:
         raw_seg_fn = seg_fn
@@ -102,22 +107,31 @@ def sample_with_sgg(
 
         do_guide = (i != 0) & (jnp.mod(i, guidance_every) == 0)
 
+        def lcg(_):
+            return apply_lcg(
+                seg_fn, mu, sigma, sr_xt, gt, lam,
+                num_classes=num_classes, noise=z, mode=mode,
+            )
+
+        def gsg(_):
+            return apply_gsg(seg_fn, mu, sigma, sr_xt, gt, lam, noise=z, mode=mode)
+
         def guided(_):
-            def lcg(_):
-                return apply_lcg(
-                    seg_fn, mu, sigma, sr_xt, gt, lam,
-                    num_classes=num_classes, noise=z, mode=mode,
-                )
-
-            def gsg(_):
-                return apply_gsg(seg_fn, mu, sigma, sr_xt, gt, lam, noise=z, mode=mode)
-
-            return jax.lax.cond(jnp.mod(i, 2) == 0, lcg, gsg, operand=None)
+            if guidance_style == "alternate":
+                return jax.lax.cond(jnp.mod(i, 2) == 0, lcg, gsg, operand=None)
+            if guidance_style == "gsg":
+                return gsg(None)
+            if guidance_style == "lcg":
+                return lcg(None)
+            raise ValueError(f"unknown guidance_style {guidance_style!r}")
 
         def unguided(_):
             return mu + jnp.where(i > 0, sigma * z, 0.0)
 
-        xt_guided = jax.lax.cond(do_guide, guided, unguided, operand=None)
+        if guidance_style == "none":
+            xt_guided = unguided(None)
+        else:
+            xt_guided = jax.lax.cond(do_guide, guided, unguided, operand=None)
 
         if mode == "reference":
             # translation.py:90 — unconditional overwrite of the guided xt.
@@ -140,17 +154,25 @@ def make_translate_fn(
     sr_params,
     **kwargs,
 ):
-    """Bind the three models' params into a single jitted translate(input,
-    gt, key) (the reference assembles the same four-model pipeline on host at
-    translation.py:100-121)."""
-    diff_fn = lambda x, t: diff_model.apply({"params": diff_params}, x, t)
-    seg_fn = lambda x: seg_model.apply(seg_variables, x)
-    sr_fn = lambda x: sr_model.apply({"params": sr_params}, x)
+    """Bind the three models into a single jitted translate(input, gt, key)
+    (the reference assembles the same four-model pipeline on host at
+    translation.py:100-121).
+
+    All param trees are jit ARGUMENTS (closed via functools.partial-style
+    binding at call time), never closures: closed-over arrays lower to HLO
+    constants, which stalls the TPU compiler for many minutes.
+    """
 
     @jax.jit
-    def translate(input_128, gt, key):
+    def _translate(dp, sv, sp, input_128, gt, key):
+        diff_fn = lambda x, t: diff_model.apply({"params": dp}, x, t)
+        seg_fn = lambda x: seg_model.apply(sv, x)
+        sr_fn = lambda x: sr_model.apply({"params": sp}, x)
         return sample_with_sgg(
             diff_fn, sched, seg_fn, sr_fn, input_128, gt, key, **kwargs
         )
+
+    def translate(input_128, gt, key):
+        return _translate(diff_params, seg_variables, sr_params, input_128, gt, key)
 
     return translate

@@ -143,12 +143,31 @@ def _fa_bwd(res, g):
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
+# Below this sequence length the (N, N) score matrix fits comfortably on-chip
+# and XLA's fused dot-softmax-dot is at or above flash-kernel speed (measured
+# on v5e: N=4096/D=32 XLA 24us vs shipped flash kernel 93us; N=1024 and 256
+# within noise). Flash only pays once the score matrix stops fitting.
+FLASH_MIN_SEQ = 8192
+
+
 def multi_head_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, use_pallas: bool = True
 ) -> jax.Array:
-    """(B, H, N, D) attention dispatch: Pallas kernel when shapes tile cleanly,
-    jnp reference otherwise."""
+    """(B, H, N, D) attention dispatch.
+
+    TPU: XLA fused attention for N < FLASH_MIN_SEQ (every resolution of the
+    reference UNet — h*w <= 4096, unet_base.py:153-161); the shipped, tuned
+    Mosaic flash kernel (jax.experimental.pallas.ops.tpu) for longer
+    sequences (512px+ latents in high-res configs). Elsewhere: our blockwise
+    kernel in interpret mode exercises the flash code path in CPU tests.
+    """
     n, d = q.shape[2], q.shape[3]
-    if use_pallas and n % 8 == 0 and d >= 8:
-        return flash_attention(q, k, v)
-    return attention_reference(q, k, v)
+    if not use_pallas or n % 128 != 0 or n < FLASH_MIN_SEQ:
+        return attention_reference(q, k, v)
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as tpu_flash_attention,
+        )
+
+        return tpu_flash_attention(q, k, v, sm_scale=float(d) ** -0.5)
+    return flash_attention(q, k, v)

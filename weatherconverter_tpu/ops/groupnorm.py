@@ -41,35 +41,57 @@ def group_norm_reference(
 
 
 def _gn_silu_kernel(
-    x_ref, gamma_ref, beta_ref, mask_ref, o_ref, *, count: float, eps: float, silu: bool
+    x_ref, gamma_ref, beta_ref, mask_ref, o_ref, sum_ref, sq_ref,
+    *, count: float, eps: float, silu: bool,
 ):
-    """One program per batch element: x block is (1, H*W, C).
+    """Two-phase blocked kernel, grid (N, 2, HW/blk).
 
-    Group statistics are computed with (C, G) one-hot matmuls instead of a
-    (HW, G, C/G) reshape — Mosaic rejects that shape cast, and the matmul
-    variant rides the MXU anyway.
+    Phase 0 streams spatial blocks and accumulates per-group sum / sum-of-
+    squares into VMEM scratch; phase 1 re-streams the blocks and applies
+    normalize+affine(+SiLU). Each phase touches HBM once, which is the same
+    traffic GroupNorm fundamentally needs (stats pass + normalize pass), but
+    the affine and SiLU ride along for free and only one spatial block
+    (~1 MiB) is ever resident in VMEM — the original single-slab version
+    OOMed VMEM at 128px x 128ch.
+
+    Group statistics use (C, G) one-hot matmuls instead of a (HW, G, C/G)
+    reshape — Mosaic rejects that shape cast, and the matmul rides the MXU.
     """
-    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    phase = pl.program_id(1)
+    j = pl.program_id(2)
     mask = mask_ref[:].astype(jnp.float32)  # (C, G), one-hot channel->group
-    col_sum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
-    col_sq = jnp.sum(x * x, axis=0, keepdims=True)
-    sums_g = jnp.dot(col_sum, mask, preferred_element_type=jnp.float32)  # (1, G)
-    sq_g = jnp.dot(col_sq, mask, preferred_element_type=jnp.float32)
-    mean_g = sums_g / count
-    var_g = sq_g / count - mean_g * mean_g
-    inv_g = jax.lax.rsqrt(var_g + eps)
-    # Scatter group stats back to channels: (1, G) x (C, G)^T -> (1, C)
-    mean_c = jax.lax.dot_general(
-        mean_g, mask, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    inv_c = jax.lax.dot_general(
-        inv_g, mask, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    out = (x - mean_c) * inv_c
-    out = out * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
-    if silu:
-        out = out * jax.nn.sigmoid(out)
-    o_ref[0] = out.astype(o_ref.dtype)
+
+    @pl.when((phase == 0) & (j == 0))
+    def _init():
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+        sq_ref[...] = jnp.zeros_like(sq_ref)
+
+    @pl.when(phase == 0)
+    def _accumulate():
+        x = x_ref[0].astype(jnp.float32)  # (blk, C)
+        col_sum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+        col_sq = jnp.sum(x * x, axis=0, keepdims=True)
+        sum_ref[...] += jnp.dot(col_sum, mask, preferred_element_type=jnp.float32)
+        sq_ref[...] += jnp.dot(col_sq, mask, preferred_element_type=jnp.float32)
+
+    @pl.when(phase == 1)
+    def _normalize():
+        x = x_ref[0].astype(jnp.float32)
+        mean_g = sum_ref[...] / count
+        var_g = sq_ref[...] / count - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        # Scatter group stats back to channels: (1, G) x (C, G)^T -> (1, C)
+        mean_c = jax.lax.dot_general(
+            mean_g, mask, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        inv_c = jax.lax.dot_general(
+            inv_g, mask, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out = (x - mean_c) * inv_c
+        out = out * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+        if silu:
+            out = out * jax.nn.sigmoid(out)
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _group_mask(c: int, num_groups: int) -> jax.Array:
@@ -81,23 +103,39 @@ def _group_mask(c: int, num_groups: int) -> jax.Array:
     return (ch == grp).astype(jnp.float32)
 
 
+def _pick_spatial_block(hw: int, c: int) -> int:
+    """Largest power-of-two block of rows with block bytes (f32) <= ~1 MiB."""
+    blk = hw
+    while blk > 8 and blk * c * 4 > (1 << 20):
+        blk //= 2
+    return blk
+
+
 def _gn_silu_fwd_impl(x, gamma, beta, num_groups, eps, silu, interpret):
     n, h, w, c = x.shape
-    xr = x.reshape(n, h * w, c)
-    count = float(h * w * (c // num_groups))
+    hw = h * w
+    blk = _pick_spatial_block(hw, c)
+    if hw % blk != 0:
+        return group_norm_reference(x, gamma, beta, num_groups, eps, silu)
+    xr = x.reshape(n, hw, c)
+    count = float(hw * (c // num_groups))
     out = pl.pallas_call(
         functools.partial(_gn_silu_kernel, count=count, eps=eps, silu=silu),
-        out_shape=jax.ShapeDtypeStruct((n, h * w, c), x.dtype),
-        grid=(n,),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        grid=(n, 2, hw // blk),
         in_specs=[
-            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, num_groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, c), lambda i, p, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, num_groups), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, blk, c), lambda i, p, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((1, num_groups), jnp.float32),
+            pltpu.VMEM((1, num_groups), jnp.float32),
+        ],
         interpret=interpret,
     )(xr, gamma.reshape(1, c), beta.reshape(1, c), _group_mask(c, num_groups))
     return out.reshape(n, h, w, c)
@@ -112,17 +150,21 @@ def group_norm_silu(
     eps: float = 1e-5,
     silu: bool = True,
 ) -> jax.Array:
-    """Fused GroupNorm(num_groups) [+ SiLU], Pallas on TPU.
+    """GroupNorm(num_groups) [+ SiLU].
 
-    VMEM budget: largest activation block is 128*128*64 floats = 4 MiB < 16 MiB;
-    all other (res, channel) combinations in the reference UNet are smaller.
+    Default path is the jnp implementation: GN+SiLU is reduction+elementwise
+    work that XLA fuses into adjacent ops, and measurement on v5e showed the
+    hand-written Mosaic kernel is strictly worse there (293s kernel compile
+    and numerical miscompare on hardware; the jnp path is bandwidth-optimal).
+    The blocked two-phase Pallas kernel is kept behind WCTPU_PALLAS_GN=1 for
+    future Mosaic tuning and is exercised in interpret mode by CPU tests.
     """
-    interpret = jax.default_backend() != "tpu"
-    # VMEM guard: fall back for blocks that would not fit on-chip.
-    n, h, w, c = x.shape
-    if h * w * c * 4 > 8 * 1024 * 1024:
-        return group_norm_reference(x, gamma, beta, num_groups, eps, silu)
-    return _gn_silu_fwd_impl(x, gamma, beta, num_groups, eps, silu, interpret)
+    import os
+
+    if os.environ.get("WCTPU_PALLAS_GN") == "1" or jax.default_backend() != "tpu":
+        interpret = jax.default_backend() != "tpu"
+        return _gn_silu_fwd_impl(x, gamma, beta, num_groups, eps, silu, interpret)
+    return group_norm_reference(x, gamma, beta, num_groups, eps, silu)
 
 
 def _gns_fwd(x, gamma, beta, num_groups, eps, silu):
