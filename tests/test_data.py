@@ -54,7 +54,11 @@ def test_diffusion_dataset_discovery_and_merge(diffusion_tree):
     assert len(ds) == 7
     img = ds[0]
     assert img.dtype == np.uint8
-    assert min(img.shape[:2]) == 32  # smallest side pinned
+    # fixed static box: smaller side pinned, width = 16:9 box
+    assert img.shape == (32, int(round(32 * 16 / 9)), 3)
+    # mixed source sizes stack (the BDD merge adds a different-sized image)
+    batch = np.stack([ds[i] for i in range(len(ds))])
+    assert batch.shape[0] == len(ds)
 
 
 @pytest.fixture()

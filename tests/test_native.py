@@ -1,0 +1,77 @@
+"""Native decode library tests: correctness vs the PIL path and batch API.
+
+Skipped when the toolchain/.so is unavailable (the Python fallback is tested
+by test_data.py either way)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from weatherconverter_tpu.data import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="libwcdecode.so not available")
+
+
+@pytest.fixture()
+def images(tmp_path):
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, size in enumerate([(40, 64), (64, 40), (33, 57)]):
+        arr = rng.randint(0, 255, size + (3,), dtype=np.uint8)
+        p = str(tmp_path / f"img{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    jp = str(tmp_path / "img.jpg")
+    Image.fromarray(rng.randint(0, 255, (48, 80, 3), dtype=np.uint8)).save(jp, quality=95)
+    paths.append(jp)
+    return paths
+
+
+def test_decode_box_matches_pil_closely(images):
+    from weatherconverter_tpu.data.datasets import load_image_resized
+
+    for p in images:
+        ours = native.decode_box(p, 32, (32, 57))
+        ref = load_image_resized(p, 32, (32, 57))
+        assert ours is not None and ours.shape == ref.shape
+        # PIL-style triangle filter: only rounding-level deviation remains
+        diff = np.abs(ours.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+
+
+def test_decode_exact_shape_and_jpeg(images):
+    out = native.decode_exact(images[-1], (20, 30))
+    assert out is not None and out.shape == (20, 30, 3)
+
+
+def test_batch_decode(images):
+    out = native.decode_box_batch(images, 32, (32, 57))
+    assert out is not None and out.shape == (len(images), 32, 57, 3)
+    for i, p in enumerate(images):
+        single = native.decode_box(p, 32, (32, 57))
+        np.testing.assert_array_equal(out[i], single)
+
+
+def test_missing_file_fails_cleanly(tmp_path):
+    assert native.decode_box(str(tmp_path / "nope.png"), 32, (32, 32)) is None
+    out = native.decode_box_batch([str(tmp_path / "nope.png")], 32, (32, 32))
+    assert out is None
+
+
+def test_loader_uses_batch_fast_path(images, tmp_path):
+    from weatherconverter_tpu.data.datasets import DiffusionImageDataset
+    from weatherconverter_tpu.data.loader import DataLoader
+
+    root = tmp_path / "tree"
+    for i, p in enumerate(images):
+        dst = root / "rain" / "train" / f"{i}.png"
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        Image.open(p).save(dst)
+    ds = DiffusionImageDataset(str(root), ("rain",), resize_to=32)
+    dl = DataLoader(ds, batch_size=2, shuffle=False)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0].shape == (2, 32, int(round(32 * 16 / 9)), 3)

@@ -38,10 +38,17 @@ def _glob_images(folder: str) -> list[str]:
     return sorted(glob.glob(pattern, recursive=True))
 
 
-def load_image_resized(path: str, smaller_side: int) -> np.ndarray:
+def load_image_resized(
+    path: str, smaller_side: int, out_wh: Optional[tuple[int, int]] = None
+) -> np.ndarray:
     """Decode + bilinear resize with the smallest side pinned and aspect
     kept — torchvision Resize(int) semantics (reference: dataloader.py:57-58).
-    Returns HWC uint8."""
+
+    With `out_wh` = (H, W), additionally center-crop/edge-pad to that fixed
+    box so batches STACK with a static shape (XLA requirement; the reference
+    crops per-sample on the host instead, train_ddpm.py:150-155, so it never
+    needs a fixed pre-crop box). Returns HWC uint8.
+    """
     img = Image.open(path).convert("RGB")
     w, h = img.size
     if h <= w:
@@ -49,7 +56,18 @@ def load_image_resized(path: str, smaller_side: int) -> np.ndarray:
     else:
         nw, nh = smaller_side, max(1, round(h * smaller_side / w))
     img = img.resize((nw, nh), Image.BILINEAR)
-    return np.asarray(img, dtype=np.uint8)
+    arr = np.asarray(img, dtype=np.uint8)
+    if out_wh is None:
+        return arr
+    th, tw = out_wh
+    # center-crop any excess, edge-pad any deficit (rare: near-square inputs)
+    y0 = max(0, (arr.shape[0] - th) // 2)
+    x0 = max(0, (arr.shape[1] - tw) // 2)
+    arr = arr[y0 : y0 + th, x0 : x0 + tw]
+    pad_h, pad_w = th - arr.shape[0], tw - arr.shape[1]
+    if pad_h or pad_w:
+        arr = np.pad(arr, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    return arr
 
 
 def load_image_exact(path: str, hw: tuple[int, int], resample=Image.BILINEAR) -> np.ndarray:
@@ -73,10 +91,14 @@ class DiffusionImageDataset:
         selected_conditions: Sequence[str] = ("rain", "fog", "night"),
         splits: Sequence[str] = ("train", "val", "test"),
         resize_to: int = 128,
+        aspect: float = 16 / 9,
     ):
         self.root_dir = root_dir
         self.selected_conditions = list(selected_conditions)
         self.resize_to = resize_to
+        # fixed pre-crop box (H, W): static shapes let batches stack and the
+        # random 128x128 crop run on device (data/transforms.py)
+        self.out_wh = (resize_to, int(round(resize_to * aspect)))
         self.img_paths: list[str] = []
         for condition in self.selected_conditions:
             for split in splits:
@@ -94,7 +116,23 @@ class DiffusionImageDataset:
         return len(self.img_paths)
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        return load_image_resized(self.img_paths[idx], self.resize_to)
+        from weatherconverter_tpu.data import native
+
+        arr = native.decode_box(self.img_paths[idx], self.resize_to, self.out_wh)
+        if arr is not None:
+            return arr
+        return load_image_resized(self.img_paths[idx], self.resize_to, self.out_wh)
+
+    def get_batch(self, indices) -> np.ndarray:
+        """Batch fast-path: one native call decodes all files on C++ threads
+        (data/native.py); falls back to per-item PIL."""
+        from weatherconverter_tpu.data import native
+
+        paths = [self.img_paths[i] for i in indices]
+        arr = native.decode_box_batch(paths, self.resize_to, self.out_wh)
+        if arr is not None:
+            return arr
+        return np.stack([self[i] for i in indices])
 
 
 class SegPairedDataset:
@@ -138,8 +176,14 @@ class SegPairedDataset:
         return len(self.image_paths)
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        from weatherconverter_tpu.data import native
+
         h, w = self.resize_hw
-        img = load_image_exact(str(self.image_paths[idx]), (h, w))
+        img = native.decode_exact(str(self.image_paths[idx]), (h, w))
+        if img is None:
+            img = load_image_exact(str(self.image_paths[idx]), (h, w))
+        # labels stay on the PIL path: id maps must resize NEAREST and the
+        # native decoder normalizes to RGB
         lbl = Image.open(self.label_paths[idx])
         # labels resize with NEAREST always (reference ExtResize 'just_label'
         # semantics, ext_transforms.py — never interpolate ids)

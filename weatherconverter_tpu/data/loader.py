@@ -73,7 +73,17 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def producer():
+            if get_batch is not None:
+                # dataset-provided batch fast-path (native C++ decode pool)
+                for bidx in batches:
+                    if stop.is_set():
+                        return
+                    q.put(get_batch(bidx))
+                q.put(None)
+                return
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for bidx in batches:
                     if stop.is_set():

@@ -1,0 +1,133 @@
+"""ctypes binding for the native decode library (native/wcdecode.cpp).
+
+Auto-builds with `make -C native` if the .so is missing and a toolchain is
+available; falls back to PIL transparently otherwise. The native path
+decodes+resizes a whole batch in parallel C++ threads with zero Python
+object churn — the host-side throughput uplift that keeps a TPU fed (the
+reference decodes synchronously in Python, dataloader.py:39-48, workers=0).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("WCTPU_NO_NATIVE") == "1":
+        return None
+    so = os.path.join(_repo_root(), "native", "libwcdecode.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(so)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.wc_decode_box.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.wc_decode_box.restype = ctypes.c_int
+    lib.wc_decode_exact.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.wc_decode_exact.restype = ctypes.c_int
+    for fn in (lib.wc_decode_box_batch, lib.wc_decode_exact_batch):
+        fn.restype = ctypes.c_int
+    lib.wc_decode_box_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.wc_decode_exact_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _paths_array(paths: Sequence[str]):
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [p.encode() for p in paths]
+    return arr
+
+
+def decode_box(path: str, smaller_side: int, out_hw: tuple[int, int]) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    th, tw = out_hw
+    out = np.empty((th, tw, 3), dtype=np.uint8)
+    rc = lib.wc_decode_box(
+        path.encode(), smaller_side, th, tw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
+def decode_exact(path: str, out_hw: tuple[int, int]) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    th, tw = out_hw
+    out = np.empty((th, tw, 3), dtype=np.uint8)
+    rc = lib.wc_decode_exact(
+        path.encode(), th, tw, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    return out if rc == 0 else None
+
+
+def decode_box_batch(
+    paths: Sequence[str], smaller_side: int, out_hw: tuple[int, int], nthreads: int = 0
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    th, tw = out_hw
+    out = np.empty((len(paths), th, tw, 3), dtype=np.uint8)
+    fails = lib.wc_decode_box_batch(
+        _paths_array(paths), len(paths), smaller_side, th, tw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nthreads,
+    )
+    return out if fails == 0 else None
+
+
+def decode_exact_batch(
+    paths: Sequence[str], out_hw: tuple[int, int], nthreads: int = 0
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    th, tw = out_hw
+    out = np.empty((len(paths), th, tw, 3), dtype=np.uint8)
+    fails = lib.wc_decode_exact_batch(
+        _paths_array(paths), len(paths), th, tw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nthreads,
+    )
+    return out if fails == 0 else None
