@@ -87,6 +87,33 @@ def run_sample(args) -> int:
     return 0
 
 
+def load_seg_variables(model, checkpoint, model_name, hw, key):
+    """Init or restore seg model variables; torch .pth checkpoints bridge
+    through compat (the reference loads `model_state_dict` at
+    seg_model/inference.py:27-33)."""
+    if checkpoint and checkpoint.endswith((".pth", ".pt", ".ckpt", ".tar")):
+        from weatherconverter_tpu.compat.torch_import import (
+            convert_deeplab_resnet,
+            load_torch_checkpoint,
+        )
+
+        backbone = model_name.split("_")[-1]
+        params, stats = convert_deeplab_resnet(
+            load_torch_checkpoint(checkpoint), backbone
+        )
+        return {"params": params, "batch_stats": stats}
+    variables = jax.jit(model.init)(key, jnp.zeros((1, hw[0], hw[1], 3)))
+    if checkpoint and checkpoint.endswith(".npz"):
+        from weatherconverter_tpu.core.checkpoint import load_pytree_npz
+
+        return load_pytree_npz(checkpoint, variables)
+    if checkpoint:
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer().restore(checkpoint, variables)
+    return variables
+
+
 def _load_image(path, size):
     from PIL import Image
 
@@ -123,9 +150,9 @@ def run_translate(args) -> int:
         cfg.seg.model.name, cfg.seg.model.num_classes, cfg.seg.model.output_stride,
         train=False,
     )
-    if args.seg_checkpoint:
-        raise NotImplementedError("seg torch-ckpt import lands with compat/deeplab")
-    seg_vars = jax.jit(seg.init)(k2, jnp.zeros((1, hr, hr, 3)))
+    seg_vars = load_seg_variables(
+        seg, args.seg_checkpoint, cfg.seg.model.name, (hr, hr), k2
+    )
 
     gen = Generator(
         in_channels=cfg.srgan.in_channels, num_channels=cfg.srgan.num_channels,
@@ -182,7 +209,10 @@ def run_infer_seg(args) -> int:
         cfg.model.name, cfg.model.num_classes, cfg.model.output_stride, train=False
     )
     key = jax.random.PRNGKey(0)
-    variables = jax.jit(model.init)(key, jnp.zeros((1, hw[0], hw[1], 3)))
+    ckpt = args.checkpoint or cfg.model.path or None
+    variables = load_seg_variables(
+        model, ckpt, cfg.model.name, (hw[0], hw[1]), key
+    )
 
     img = Image.open(args.image).convert("RGB").resize((hw[1], hw[0]), Image.BILINEAR)
     x = jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]

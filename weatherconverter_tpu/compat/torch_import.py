@@ -275,3 +275,88 @@ def convert_legacy_unet(sd: Mapping[str, Any]) -> dict:
         "legacy UNet import requires the reference 1000-checkpoint.ckpt for "
         "validation; see compat/README in a future round"
     )
+
+
+# ---------------------------------------------------------------------------
+# DeepLabV3 / V3+ with ResNet backbones
+# (reference: seg_model/network/modeling.py + backbone/resnet.py; the
+# checkpointed production config is deeplabv3plus_resnet101,
+# seg config.yaml:65)
+# ---------------------------------------------------------------------------
+
+RESNET_LAYERS = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+RESNET_BASIC = {"resnet18", "resnet34"}
+
+
+def _conv_bn(sd, conv_name, bn_name):
+    """-> ({conv, bn params}, {bn stats}) for a ConvBNReLU-style module."""
+    bp, bs = _bn(sd, bn_name)
+    return {"conv": _conv(sd, conv_name), "bn": bp}, {"bn": bs}
+
+
+def convert_deeplab_resnet(sd: Mapping[str, Any], backbone_name: str) -> tuple[dict, dict]:
+    """torch DeepLabV3(+)-ResNet state_dict -> (params, batch_stats) for
+    models.factory.make_seg_model('deeplabv3[plus]_<resnet>').
+
+    Backbone naming: torch `backbone.layerL.i.convK/bnK` (+ downsample.0/1)
+    -> flax `backbone/layerL_i/convK/{conv,bn}` (+ downsample). Head naming
+    mapped per the dumps in tests/test_compat.py.
+    """
+    params: dict[str, Any] = {"backbone": {}, "head": {}}
+    stats: dict[str, Any] = {"backbone": {}, "head": {}}
+
+    # stem
+    bp, bs = _bn(sd, "backbone.bn1")
+    params["backbone"]["stem"] = {"conv": _conv(sd, "backbone.conv1"), "bn": bp}
+    stats["backbone"]["stem"] = {"bn": bs}
+
+    nconvs = 2 if backbone_name in RESNET_BASIC else 3
+    for L, blocks in enumerate(RESNET_LAYERS[backbone_name], start=1):
+        for i in range(blocks):
+            t = f"backbone.layer{L}.{i}"
+            name = f"layer{L}_{i}"
+            bparams: dict[str, Any] = {}
+            bstats: dict[str, Any] = {}
+            for k in range(1, nconvs + 1):
+                p, s = _conv_bn(sd, f"{t}.conv{k}", f"{t}.bn{k}")
+                bparams[f"conv{k}"] = p
+                bstats[f"conv{k}"] = s
+            if f"{t}.downsample.0.weight" in sd:
+                p, s = _conv_bn(sd, f"{t}.downsample.0", f"{t}.downsample.1")
+                bparams["downsample"] = p
+                bstats["downsample"] = s
+            params["backbone"][name] = bparams
+            stats["backbone"][name] = bstats
+
+    is_plus = "classifier.project.0.weight" in sd
+    aspp_prefix = "classifier.aspp" if is_plus else "classifier.classifier.0"
+
+    def put(dst_p, dst_s, name, conv_name, bn_name):
+        p, s = _conv_bn(sd, conv_name, bn_name)
+        dst_p[name] = p
+        dst_s[name] = s
+
+    aspp_p: dict[str, Any] = {}
+    aspp_s: dict[str, Any] = {}
+    put(aspp_p, aspp_s, "conv1x1", f"{aspp_prefix}.convs.0.0", f"{aspp_prefix}.convs.0.1")
+    for j in range(3):
+        put(aspp_p, aspp_s, f"atrous{j}", f"{aspp_prefix}.convs.{j+1}.0", f"{aspp_prefix}.convs.{j+1}.1")
+    put(aspp_p, aspp_s, "pool_conv", f"{aspp_prefix}.convs.4.1", f"{aspp_prefix}.convs.4.2")
+    put(aspp_p, aspp_s, "project", f"{aspp_prefix}.project.0", f"{aspp_prefix}.project.1")
+    params["head"]["aspp"] = aspp_p
+    stats["head"]["aspp"] = aspp_s
+
+    if is_plus:
+        put(params["head"], stats["head"], "project", "classifier.project.0", "classifier.project.1")
+        put(params["head"], stats["head"], "classifier0", "classifier.classifier.0", "classifier.classifier.1")
+        params["head"]["classifier1"] = _conv(sd, "classifier.classifier.3")
+    else:
+        put(params["head"], stats["head"], "classifier0", "classifier.classifier.1", "classifier.classifier.2")
+        params["head"]["classifier1"] = _conv(sd, "classifier.classifier.4")
+    return params, stats
