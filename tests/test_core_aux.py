@@ -1,0 +1,87 @@
+"""Aux subsystem tests: checkpointing (orbax + npz fallback), run-dir
+allocator, metrics logger, profiling utilities."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weatherconverter_tpu.core.checkpoint import (
+    CheckpointManager,
+    create_run,
+    find_max_run_id,
+    load_pytree_npz,
+    save_pytree_npz,
+)
+from weatherconverter_tpu.core.logging import MetricsLogger
+from weatherconverter_tpu.core.profiling import (
+    StepTimer,
+    annotate,
+    device_memory_stats,
+    format_memory,
+)
+
+
+def test_npz_roundtrip(tmp_path):
+    tree = {"a": {"w": jnp.arange(6.0).reshape(2, 3)}, "b": jnp.ones(4, jnp.int32)}
+    p = str(tmp_path / "ck.npz")
+    save_pytree_npz(p, tree)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    out = load_pytree_npz(p, zeros)
+    np.testing.assert_array_equal(np.asarray(out["a"]["w"]), np.asarray(tree["a"]["w"]))
+    np.testing.assert_array_equal(np.asarray(out["b"]), np.asarray(tree["b"]))
+
+
+def test_run_dir_allocator(tmp_path):
+    """(reference: diffusion_model/utils.py:43-73 — next id = max + 1)."""
+    base = str(tmp_path / "runs")
+    r0 = create_run(base)
+    r1 = create_run(base)
+    assert r0.endswith("/0") and r1.endswith("/1")
+    assert os.path.isdir(os.path.join(r0, "checkpoints"))
+    assert find_max_run_id(base) == 1
+
+
+def test_orbax_manager_best_tracking(tmp_path):
+    state = {"w": jnp.ones(3), "step": jnp.asarray(1)}
+    mgr = CheckpointManager(
+        str(tmp_path / "ck"), best_metric_name="Mean IoU", best_mode="max"
+    )
+    mgr.save(1, state, metrics={"Mean IoU": 0.5})
+    mgr.save(2, jax.tree_util.tree_map(lambda x: x * 2, state), metrics={"Mean IoU": 0.4})
+    mgr.wait()
+    assert mgr.best_step() == 1  # 0.4 did not beat 0.5
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(2, target=jax.tree_util.tree_map(jnp.zeros_like, state))
+    np.testing.assert_allclose(np.asarray(restored["w"]), 2.0)
+    mgr.close()
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    lg = MetricsLogger(str(tmp_path / "run"), config={"a": 1}, use_wandb=False)
+    lg.log({"loss": jnp.asarray(0.5), "x": 2}, step=3)
+    lg.finish()
+    lines = open(str(tmp_path / "run" / "metrics.jsonl")).read().strip().splitlines()
+    rec = json.loads(lines[-1])
+    assert rec["loss"] == 0.5 and rec["_step"] == 3
+    assert json.load(open(str(tmp_path / "run" / "config.json"))) == {"a": 1}
+
+
+def test_step_timer_skips_warmup():
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            pass
+    s = t.summary()
+    assert s["steps"] == 3 and "p50_s" in s
+
+
+def test_profiling_helpers_run():
+    with annotate("test-region"):
+        _ = jnp.ones(3) + 1
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+    assert isinstance(format_memory(), str)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from weatherconverter_tpu.models.norm import bn_momentum
+
 from weatherconverter_tpu.ops.image import resize_bilinear, resize_nearest
 
 Dtype = Any
@@ -42,7 +44,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=0.9, name="bn")(h)
+        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn")(h)
         return nn.relu(h) if self.relu else h
 
 

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from weatherconverter_tpu.models.norm import bn_momentum
+
 Dtype = Any
 
 # (expand_ratio t, channels c, repeats n, stride s) — reference mobilenetv2.py:102-112
@@ -74,7 +76,7 @@ class ConvBNReLU6(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=0.9, name="bn")(h)
+        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn")(h)
         if self.relu6:
             h = jnp.minimum(nn.relu(h), 6.0)
         return h

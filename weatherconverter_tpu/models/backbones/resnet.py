@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from weatherconverter_tpu.models.norm import bn_momentum
+
 Dtype = Any
 
 
@@ -44,7 +46,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        return nn.BatchNorm(use_running_average=not self.train, momentum=0.9, name="bn")(h)
+        return nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn")(h)
 
 
 class BasicBlock(nn.Module):

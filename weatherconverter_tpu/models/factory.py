@@ -39,9 +39,19 @@ def make_seg_model(
     train: bool = False,
     deterministic: bool = True,
     dtype: Any = jnp.float32,
+    bn_momentum: float | None = None,
 ) -> DeepLabV3:
     """Dispatch equivalent of `network.modeling.__dict__[name](...)`
-    (reference: seg_model/inference.py:28-29, train.py:284-285)."""
+    (reference: seg_model/inference.py:28-29, train.py:284-285).
+
+    `bn_momentum` (torch convention) replicates the reference's
+    `set_bn_momentum(model.backbone, 0.01)` (seg train.py:285 +
+    utils.py:31-34) via the process-level knob in models/norm.py.
+    """
+    if bn_momentum is not None:
+        from weatherconverter_tpu.models.norm import set_bn_momentum
+
+        set_bn_momentum(bn_momentum)
     if name.startswith("deeplabv3plus_"):
         arch, backbone_name = "deeplabv3plus", name[len("deeplabv3plus_"):]
     elif name.startswith("deeplabv3_"):

@@ -1,0 +1,34 @@
+"""BatchNorm momentum control.
+
+The reference sets BN momentum globally after model construction with
+`set_bn_momentum(model.backbone, momentum=0.01)` (reference:
+seg_model/utils/utils.py:31-34, called at train.py:285). The flax analog is
+this process-level knob read by every BatchNorm in the model zoo at trace
+time; `make_seg_model(bn_momentum=...)` sets it from the config.
+
+Conventions: torch `momentum` m means new = (1-m)*old + m*batch;
+flax `momentum` f means new = f*old + (1-f)*batch, so f = 1 - m.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+_FLAX_MOMENTUM = 0.9  # = torch momentum 0.1 (both frameworks' default)
+
+
+def set_bn_momentum(torch_momentum: float) -> None:
+    """Set the torch-convention BN momentum used by subsequently TRACED
+    models (momentum is baked at trace time; re-jit after changing)."""
+    global _FLAX_MOMENTUM
+    _FLAX_MOMENTUM = 1.0 - torch_momentum
+
+
+def bn_momentum() -> float:
+    return _FLAX_MOMENTUM
+
+
+def batch_norm(train: bool, name: str = "bn") -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=bn_momentum(), name=name
+    )

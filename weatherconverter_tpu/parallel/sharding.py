@@ -94,6 +94,17 @@ def maybe_mesh(mesh: Optional[Mesh]):
             yield
 
 
+def choose_dp_width(batch_size: int, n_devices: Optional[int] = None) -> int:
+    """Largest divisor of `batch_size` that is <= the device count — the DP
+    width a training loop can use without padding (XLA requires the sharded
+    dim divisible by the mesh axis)."""
+    n = n_devices if n_devices is not None else jax.device_count()
+    for w in range(min(batch_size, n), 0, -1):
+        if batch_size % w == 0:
+            return w
+    return 1
+
+
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
     """Per-device batch under DP."""
     n = mesh.shape[DATA_AXIS]

@@ -94,7 +94,10 @@ def train(
     key = run_key(tr.random_seed)
     keys = split_named(key, "init", "train")
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    from weatherconverter_tpu.parallel.sharding import choose_dp_width
+
+    dp = choose_dp_width(tr.batch_size)
+    mesh = make_mesh(data=dp, devices=jax.devices()[:dp]) if dp > 1 else None
     sched = make_schedule(
         cfg.diffusion.schedule,
         cfg.diffusion.num_timesteps,

@@ -140,12 +140,15 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
     key = run_key(tr.random_seed)
     keys = split_named(key, "init", "train")
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    from weatherconverter_tpu.parallel.sharding import choose_dp_width
+
+    dp = choose_dp_width(tr.batch_size)
+    mesh = make_mesh(data=dp, devices=jax.devices()[:dp]) if dp > 1 else None
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if tr.dtype == "bfloat16" and on_tpu else jnp.float32
     model_train = make_seg_model(
         cfg.model.name, cfg.model.num_classes, cfg.model.output_stride,
-        train=True, dtype=dtype,
+        train=True, dtype=dtype, bn_momentum=cfg.model.bn_momentum,
     )
     model_eval = make_seg_model(
         cfg.model.name, cfg.model.num_classes, cfg.model.output_stride,
