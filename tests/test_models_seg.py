@@ -111,3 +111,20 @@ def test_seg_model_grad_wrt_input():
     assert g.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_separable_head_variant():
+    """make_seg_model(separable=True) — the convert_to_separable_conv
+    capability (reference: _deeplab.py:166-178) as a construction option."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherconverter_tpu.models.factory import make_seg_model
+
+    m = make_seg_model("deeplabv3_resnet18", num_classes=4, separable=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    # head 3x3 convs are depthwise+pointwise pairs now
+    assert "depthwise" in v["params"]["head"]["classifier0"]
+    assert "depthwise" in v["params"]["head"]["aspp"]["atrous0"]
+    out = m.apply(v, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 32, 32, 4)

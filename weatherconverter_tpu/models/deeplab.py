@@ -25,25 +25,51 @@ Dtype = Any
 
 
 class ConvBNReLU(nn.Module):
+    """Conv-BN-ReLU with an optional atrous-separable conv body — the
+    `separable=True` variant is the framework's equivalent of the reference's
+    `convert_to_separable_conv` rewrite, which swaps every kernel>1 conv in
+    the head for AtrousSeparableConvolution (reference:
+    _deeplab.py:85-109,166-178). Here it is a construction-time option
+    (make_seg_model(separable=True)) rather than a post-hoc module rewrite.
+    """
+
     features: int
     kernel: int = 3
     dilation: int = 1
     padding: int | None = None
     train: bool = False
+    separable: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pad = self.padding if self.padding is not None else self.dilation * (self.kernel - 1) // 2
-        h = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            padding=pad,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.separable and self.kernel > 1:
+            cin = x.shape[-1]
+            h = nn.Conv(
+                cin,
+                (self.kernel, self.kernel),
+                padding=pad,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=cin,
+                use_bias=False,
+                dtype=self.dtype,
+                name="depthwise",
+            )(x)
+            h = nn.Conv(
+                self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                name="pointwise",
+            )(h)
+        else:
+            h = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                padding=pad,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn")(h)
         return nn.relu(h)
 
@@ -55,6 +81,7 @@ class ASPP(nn.Module):
     out_channels: int = 256
     train: bool = False
     deterministic: bool = True
+    separable: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -63,7 +90,8 @@ class ASPP(nn.Module):
         for i, rate in enumerate(self.atrous_rates):
             res.append(
                 ConvBNReLU(
-                    self.out_channels, 3, dilation=rate, train=self.train, dtype=self.dtype,
+                    self.out_channels, 3, dilation=rate, train=self.train,
+                    separable=self.separable, dtype=self.dtype,
                     name=f"atrous{i}",
                 )(x)
             )
@@ -84,6 +112,7 @@ class DeepLabHeadV3Plus(nn.Module):
     aspp_dilate: Sequence[int]
     train: bool = False
     deterministic: bool = True
+    separable: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -91,11 +120,14 @@ class DeepLabHeadV3Plus(nn.Module):
         low = ConvBNReLU(48, 1, train=self.train, dtype=self.dtype, name="project")(feats["low_level"])
         aspp = ASPP(
             self.aspp_dilate, train=self.train, deterministic=self.deterministic,
-            dtype=self.dtype, name="aspp",
+            separable=self.separable, dtype=self.dtype, name="aspp",
         )(feats["out"])
         aspp = resize_bilinear(aspp, (low.shape[1], low.shape[2]))
         h = jnp.concatenate([low, aspp], axis=-1)
-        h = ConvBNReLU(256, 3, train=self.train, dtype=self.dtype, name="classifier0")(h)
+        h = ConvBNReLU(
+            256, 3, train=self.train, separable=self.separable, dtype=self.dtype,
+            name="classifier0",
+        )(h)
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="classifier1")(h)
 
 
@@ -106,15 +138,19 @@ class DeepLabHead(nn.Module):
     aspp_dilate: Sequence[int]
     train: bool = False
     deterministic: bool = True
+    separable: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: dict[str, jax.Array]) -> jax.Array:
         h = ASPP(
             self.aspp_dilate, train=self.train, deterministic=self.deterministic,
-            dtype=self.dtype, name="aspp",
+            separable=self.separable, dtype=self.dtype, name="aspp",
         )(feats["out"])
-        h = ConvBNReLU(256, 3, train=self.train, dtype=self.dtype, name="classifier0")(h)
+        h = ConvBNReLU(
+            256, 3, train=self.train, separable=self.separable, dtype=self.dtype,
+            name="classifier0",
+        )(h)
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="classifier1")(h)
 
 

