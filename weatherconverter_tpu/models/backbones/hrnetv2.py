@@ -44,7 +44,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn")(h)
+        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn")(h)
         return nn.relu(h) if self.relu else h
 
 

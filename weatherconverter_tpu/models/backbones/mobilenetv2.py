@@ -76,7 +76,7 @@ class ConvBNReLU6(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn")(h)
+        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn")(h)
         if self.relu6:
             h = jnp.minimum(nn.relu(h), 6.0)
         return h

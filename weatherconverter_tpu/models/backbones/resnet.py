@@ -46,7 +46,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        return nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn")(h)
+        return nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn")(h)
 
 
 class BasicBlock(nn.Module):

@@ -93,7 +93,7 @@ class XceptionBlock(nn.Module):
             h = SeparableConvX(
                 feats, 3, 1, self.dilation, self.dilation, dtype=self.dtype, name=f"sep{idx}"
             )(h)
-            h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name=f"bn{idx}")(h)
+            h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name=f"bn{idx}")(h)
             idx += 1
         if self.strides != 1:
             h = max_pool_3x3(h, self.strides)
@@ -102,7 +102,7 @@ class XceptionBlock(nn.Module):
                 self.out_filters, (1, 1), strides=(self.strides, self.strides),
                 use_bias=False, dtype=self.dtype, name="skip",
             )(x)
-            skip = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="skipbn")(skip)
+            skip = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="skipbn")(skip)
         else:
             skip = x
         return h + skip
@@ -129,10 +129,10 @@ class XceptionFeatures(nn.Module):
             return s, dilation
 
         h = nn.Conv(32, (3, 3), strides=(2, 2), padding=0, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn1")(h)
+        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(64, (3, 3), padding=0, use_bias=False, dtype=self.dtype, name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)
 
         feats = {}
@@ -153,7 +153,7 @@ class XceptionFeatures(nn.Module):
         h = XceptionBlock(728, 1024, 2, s, grow_first=False, dilation=d,
                           train=self.train, dtype=self.dtype, name="block12")(h)
         h = SeparableConvX(1536, 3, 1, 1, dilation, dtype=self.dtype, name="conv3")(h)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), name="bn3")(h)
+        h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn3")(h)
         h = nn.relu(h)
         h = SeparableConvX(2048, 3, 1, 1, dilation, dtype=self.dtype, name="conv4")(h)
         feats["out"] = h  # pre-bn4, matching the reference's layer tap

@@ -71,7 +71,7 @@ class LegacyResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.BatchNorm(
-            use_running_average=not self.train, momentum=0.9, name="bn"
+            use_running_average=not self.train, momentum=0.9, dtype=self.dtype, name="bn"
         )(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1"
