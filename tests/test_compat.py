@@ -151,3 +151,57 @@ def test_deeplab_import_output_parity(arch):
     got = np.asarray(got).transpose(0, 3, 1, 2)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_legacy_unet_import_output_parity():
+    """Output parity vs the reference old_modules.UNet — the architecture of
+    the only shipped diffusion checkpoint (reference old_modules.py:230-360,
+    loaded at sample_integrated.py:89). The torch module hardcodes its
+    attention plane sizes for 128px inputs (old_modules.py:255-270), so
+    parity runs at the real 128px, batch 1."""
+    from diffusion_model.models.old_modules import UNet as TorchLegacyUNet
+
+    from weatherconverter_tpu.compat.torch_import import convert_legacy_unet
+    from weatherconverter_tpu.models.unet_legacy import LegacyUNet
+
+    torch.manual_seed(0)
+    tmodel = TorchLegacyUNet(block_depth=3).eval()
+
+    model = LegacyUNet(image_size=128, train=False)
+    params, stats = convert_legacy_unet(tmodel.state_dict())
+
+    x = np.random.RandomState(1).randn(1, 3, 128, 128).astype(np.float32)
+    # alpha-bar-style scalar conditioning, shape (B,1,1,1)
+    # (reference sample_integrated.py:57-64)
+    t = np.full((1, 1, 1, 1), 0.286, dtype=np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t.reshape(1)),
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_cli_sample_legacy_loads_torch_ckpt(tmp_path):
+    """`sample --sampler legacy --checkpoint <torch .ckpt>` end-to-end: the
+    flagship 'run the shipped reference weights' path (reference
+    sample_integrated.py:89 loads old_model/1000-checkpoint.ckpt)."""
+    from diffusion_model.models.old_modules import UNet as TorchLegacyUNet
+
+    from weatherconverter_tpu.cli.main import main
+
+    torch.manual_seed(1)
+    tmodel = TorchLegacyUNet(block_depth=3)
+    ckpt = tmp_path / "1000-checkpoint.ckpt"
+    torch.save({"model_state_dict": tmodel.state_dict()}, ckpt)
+
+    out = tmp_path / "legacy.png"
+    rc = main([
+        "sample", "--sampler", "legacy", "--checkpoint", str(ckpt),
+        "--steps", "2", "--batch", "1", "--out", str(out), "--seed", "0",
+    ])
+    assert rc == 0
+    assert out.exists()

@@ -60,16 +60,28 @@ def run_sample(args) -> int:
 
     if args.sampler == "legacy":
         model = LegacyUNet(image_size=cfg.model.im_size)
-        params = jax.jit(model.init)(
-            key, jnp.zeros((1,) + shape[1:]), jnp.zeros((1,))
-        )["params"]
+        if args.checkpoint and args.checkpoint.endswith((".pth", ".pt", ".ckpt", ".tar")):
+            # the shipped reference artifact: old_model/1000-checkpoint.ckpt
+            # (reference sample_integrated.py:89)
+            from weatherconverter_tpu.compat.torch_import import (
+                convert_legacy_unet,
+                load_torch_checkpoint,
+            )
+
+            params, stats = convert_legacy_unet(load_torch_checkpoint(args.checkpoint))
+            variables = {"params": jax.tree.map(jnp.asarray, params),
+                         "batch_stats": jax.tree.map(jnp.asarray, stats)}
+        else:
+            variables = jax.jit(model.init)(
+                key, jnp.zeros((1,) + shape[1:]), jnp.zeros((1,))
+            )
 
         @jax.jit
-        def run(p, k):
-            fn = lambda x, t: model.apply({"params": p}, x, t)
+        def run(v, k):
+            fn = lambda x, t: model.apply(v, x, t)
             return ddpm_sample_legacy(fn, sched, k, shape, num_steps=args.steps)
 
-        out = run(params, key)
+        out = run(variables, key)
     else:
         model = Unet(config=cfg.model, fused=on_tpu)
         params = _load_unet_params(model, args.checkpoint, cfg, key)

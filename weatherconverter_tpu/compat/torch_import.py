@@ -266,15 +266,85 @@ def convert_srgan_generator(sd: Mapping[str, Any], num_blocks: int = 16) -> tupl
 # ---------------------------------------------------------------------------
 
 
-def convert_legacy_unet(sd: Mapping[str, Any]) -> dict:
-    """Not yet implemented — the mapping depends on the shipped
-    1000-checkpoint.ckpt's exact module names (reference old_modules.py).
-    Raises with guidance until a checkpoint is available to validate against.
+def _legacy_res_block(sd, name, residual):
+    """ResidualBlock (reference old_modules.py:126-160): double_conv =
+    Sequential(BN .0, Conv .1, SiLU, Conv .3); `res` 1x1 conv. Torch creates
+    `res` unconditionally but only applies it when residual=True
+    (old_modules.py:146,154-156) — non-residual blocks' res weights are dead
+    parameters and are skipped here."""
+    bn_p, bn_s = _bn(sd, f"{name}.double_conv.0")
+    params = {
+        "bn": bn_p,
+        "conv1": _conv(sd, f"{name}.double_conv.1"),
+        "conv2": _conv(sd, f"{name}.double_conv.3"),
+    }
+    if residual:
+        params["res"] = _conv(sd, f"{name}.res")
+    return params, {"bn": bn_s}
+
+
+def _legacy_attn(sd, name):
+    """SelfAttention (reference old_modules.py:73-94): ln -> torch MHA ->
+    +x -> ff_self(LN .0, Linear .1, GELU, Linear .3) -> +."""
+    return {
+        "ln": {"scale": to_np(sd[f"{name}.ln.weight"]), "bias": to_np(sd[f"{name}.ln.bias"])},
+        **_mha(sd, f"{name}.mha"),
+        "ff_ln": {
+            "scale": to_np(sd[f"{name}.ff_self.0.weight"]),
+            "bias": to_np(sd[f"{name}.ff_self.0.bias"]),
+        },
+        "ff1": _linear(sd, f"{name}.ff_self.1"),
+        "ff2": _linear(sd, f"{name}.ff_self.3"),
+    }
+
+
+def convert_legacy_unet(sd: Mapping[str, Any], block_depth: int = 3) -> tuple[dict, dict]:
+    """torch old_modules.UNet state_dict -> (params, batch_stats) for
+    models.unet_legacy.LegacyUNet.
+
+    Architecture map (reference old_modules.py:230-360):
+      pre_conv -> pre_conv; down{1..4}.residual_blocks.{i} -> down{n}/res{i}
+      (first block residual, rest plain — old_modules.py:181-185);
+      attn_down3/attn_down4/attn_bottleneck/attn_up1/attn_up2 -> same names;
+      bottleneck1/2 -> same; up{1..4}.residual_blocks.{i} -> up{n}/res{i}
+      (all residual — old_modules.py:216-220); output -> output.
+    Validated by output-parity vs the torch module
+    (tests/test_compat.py::test_legacy_unet_import_output_parity).
     """
-    raise NotImplementedError(
-        "legacy UNet import requires the reference 1000-checkpoint.ckpt for "
-        "validation; see compat/README in a future round"
-    )
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    params["pre_conv"] = _conv(sd, "pre_conv")
+    params["output"] = _conv(sd, "output")
+
+    for n in range(1, 5):
+        blk_p: dict[str, Any] = {}
+        blk_s: dict[str, Any] = {}
+        for i in range(block_depth):
+            p, s = _legacy_res_block(sd, f"down{n}.residual_blocks.{i}", residual=(i == 0))
+            blk_p[f"res{i}"] = p
+            blk_s[f"res{i}"] = s
+        params[f"down{n}"] = blk_p
+        stats[f"down{n}"] = blk_s
+
+    for n in range(1, 5):
+        blk_p = {}
+        blk_s = {}
+        for i in range(block_depth):
+            p, s = _legacy_res_block(sd, f"up{n}.residual_blocks.{i}", residual=True)
+            blk_p[f"res{i}"] = p
+            blk_s[f"res{i}"] = s
+        params[f"up{n}"] = blk_p
+        stats[f"up{n}"] = blk_s
+
+    for name in ("bottleneck1", "bottleneck2"):
+        p, s = _legacy_res_block(sd, name, residual=True)
+        params[name] = p
+        stats[name] = s
+
+    for name in ("attn_down3", "attn_down4", "attn_bottleneck", "attn_up1", "attn_up2"):
+        params[name] = _legacy_attn(sd, name)
+
+    return params, stats
 
 
 # ---------------------------------------------------------------------------
