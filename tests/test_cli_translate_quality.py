@@ -1,0 +1,84 @@
+"""End-to-end CLI tests for `translate` and `quality` on tiny configs —
+these exercise the four-model assembly path (reference translation.py:100-164)
+and the FID + mIoU-consistency quality gates (BASELINE.md north-star)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from weatherconverter_tpu.cli.main import main
+
+TINY_YAML = """
+diffusion:
+  model:
+    im_size: 16
+    down_channels: [8, 16, 24]
+    mid_channels: [24, 24, 16]
+    down_sample: [true, false]
+    time_emb_dim: 16
+    num_down_layers: 1
+    num_mid_layers: 1
+    num_up_layers: 1
+    num_heads: 2
+    attn_resolutions: [8]
+  diffusion:
+    num_timesteps: 50
+    beta_start: 0.0001
+    beta_end: 0.02
+
+seg:
+  model:
+    name: deeplabv3plus_resnet18
+    num_classes: 5
+    output_stride: 16
+
+srgan:
+  in_channels: 3
+  num_channels: 8
+  num_blocks: 1
+  upscale_factor: 2
+
+guidance:
+  lambda: 10.0
+  num_steps: 4
+  mode: fixed
+"""
+
+
+@pytest.fixture()
+def tiny_cfg(tmp_path):
+    p = tmp_path / "translation.yaml"
+    p.write_text(TINY_YAML)
+    return str(p)
+
+
+def test_cli_translate_end_to_end(tiny_cfg, tmp_path):
+    rng = np.random.RandomState(0)
+    img = tmp_path / "in.png"
+    Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(img)
+    lbl = tmp_path / "gt.png"
+    Image.fromarray(rng.randint(0, 34, (40, 40), dtype=np.uint8)).save(lbl)
+    out = tmp_path / "translated.png"
+    rc = main([
+        "translate", "--config", tiny_cfg, "--image", str(img),
+        "--label", str(lbl), "--steps", "3", "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()
+
+
+def test_cli_quality_synthetic_report(tiny_cfg, tmp_path):
+    out = tmp_path / "quality.json"
+    rc = main([
+        "quality", "--config", tiny_cfg, "--synthetic", "4", "--batch", "2",
+        "--steps", "3", "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert "fid_original_vs_translated" in report
+    assert np.isfinite(report["fid_original_vs_translated"])
+    for k in ("miou_original", "miou_translated", "miou_consistency_gap"):
+        assert np.isfinite(report[k])
+    assert report["fid_kind"].startswith("seg_backbone")

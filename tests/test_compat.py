@@ -205,3 +205,209 @@ def test_cli_sample_legacy_loads_torch_ckpt(tmp_path):
     ])
     assert rc == 0
     assert out.exists()
+
+
+@pytest.mark.parametrize("name", [
+    "deeplabv3plus_mobilenet",
+    "deeplabv3plus_xception",
+    "deeplabv3plus_hrnetv2_32",
+    "deeplabv3_mobilenet",
+])
+def test_deeplab_nonresnet_import_output_parity(name):
+    """VERDICT r1 item 6 (bridge breadth): mobilenet/xception/hrnetv2 DeepLab
+    checkpoints import with output parity, exactly like the resnet family
+    (reference factory dispatch: modeling.py:112-124)."""
+    import seg_model.network.modeling as ref_modeling
+
+    from weatherconverter_tpu.compat.torch_import import convert_deeplab
+    from weatherconverter_tpu.models.factory import make_seg_model
+
+    torch.manual_seed(0)
+    kwargs = {} if "hrnet" in name else {"output_stride": 16}
+    tmodel = ref_modeling.__dict__[name](
+        num_classes=7, pretrained_backbone=False, **kwargs
+    ).eval()
+
+    model = make_seg_model(name, num_classes=7, output_stride=16, train=False)
+    params, stats = convert_deeplab(tmodel.state_dict(), name)
+
+    # torch xception at os16 needs >=128px (its dilated 3x3s have 5px
+    # effective kernels at the 1/32 plane and torch refuses 4x4 inputs)
+    hw = 128 if "xception" in name else 64
+    x = np.random.RandomState(0).randn(1, 3, hw, hw).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# JAX -> torch EXPORT (round-trip through the actual reference modules)
+# ---------------------------------------------------------------------------
+
+
+def test_unet_export_roundtrip_into_torch():
+    from diffusion_model.models.unet_base import Unet as TorchUnet
+
+    from weatherconverter_tpu.compat.torch_export import export_unet, to_torch_state_dict
+    from weatherconverter_tpu.core.config import UnetModelConfig
+    from weatherconverter_tpu.models.unet import Unet
+
+    ref_cfg = tiny_ref_model_config()
+    our_cfg = UnetModelConfig(**{k: getattr(ref_cfg, k) for k in (
+        "im_channels", "im_size", "down_channels", "mid_channels",
+        "down_sample", "time_emb_dim", "num_down_layers", "num_mid_layers",
+        "num_up_layers", "num_heads", "attn_resolutions")})
+    model = Unet(config=our_cfg, fused=False)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+
+    sd = to_torch_state_dict(export_unet(jax.device_get(params), our_cfg))
+    tmodel = TorchUnet(ref_cfg).eval()
+    tmodel.load_state_dict(sd, strict=True)  # every key accounted for
+
+    x = np.random.RandomState(0).randn(1, 3, 32, 32).astype(np.float32)
+    t = np.array([5])
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t)
+    )).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_srgan_export_roundtrip_into_torch():
+    from srgan_model.models import Generator as TorchGen
+
+    from weatherconverter_tpu.compat.torch_export import (
+        export_srgan_generator,
+        to_torch_state_dict,
+    )
+    from weatherconverter_tpu.models.srgan import Generator
+
+    gen = Generator(num_channels=16, num_blocks=2, upscale_factor=2)
+    variables = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    sd = to_torch_state_dict(export_srgan_generator(
+        jax.device_get(variables["params"]), jax.device_get(variables["batch_stats"]),
+        num_blocks=2,
+    ))
+    tmodel = TorchGen(num_channels=16, num_blocks=2, upscale_factor=2).eval()
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    assert not unexpected
+    # torch ConvBlock instantiates a PReLU even when use_act=False
+    # (models.py:32 -> never applied at :35); those dead act params are the
+    # only omissions
+    assert all(k.endswith(".act.weight") for k in missing), missing
+
+    x = np.random.RandomState(2).rand(1, 3, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(gen.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5)
+
+
+def test_legacy_unet_export_roundtrip_into_torch():
+    from diffusion_model.models.old_modules import UNet as TorchLegacyUNet
+
+    from weatherconverter_tpu.compat.torch_export import (
+        export_legacy_unet,
+        to_torch_state_dict,
+    )
+    from weatherconverter_tpu.models.unet_legacy import LegacyUNet
+
+    model = LegacyUNet(image_size=128, train=False)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(3), jnp.zeros((1, 128, 128, 3)), jnp.zeros((1,))
+    )
+    sd = to_torch_state_dict(export_legacy_unet(
+        jax.device_get(variables["params"]), jax.device_get(variables["batch_stats"])
+    ))
+    tmodel = TorchLegacyUNet(block_depth=3).eval()
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    assert not unexpected
+    # the only missing keys are the reference's DEAD res convs on
+    # non-residual down blocks (old_modules.py:146 applies res only when
+    # residual=True; down blocks i>0 are residual=False)
+    assert all(".res.weight" in k and k.startswith("down") for k in missing), missing
+
+    x = np.random.RandomState(4).randn(1, 3, 128, 128).astype(np.float32)
+    t = np.full((1, 1, 1, 1), 0.5, np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t.reshape(1))
+    )).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)
+
+
+def test_deeplab_resnet_export_roundtrip_into_torch():
+    import seg_model.network.modeling as ref_modeling
+
+    from weatherconverter_tpu.compat.torch_export import (
+        export_deeplab_resnet,
+        to_torch_state_dict,
+    )
+    from weatherconverter_tpu.models.factory import make_seg_model
+
+    model = make_seg_model("deeplabv3plus_resnet50", num_classes=6, train=False)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 3)))
+    sd = to_torch_state_dict(export_deeplab_resnet(
+        jax.device_get(variables["params"]), jax.device_get(variables["batch_stats"]),
+        "resnet50",
+    ))
+    tmodel = ref_modeling.deeplabv3plus_resnet50(
+        num_classes=6, output_stride=16, pretrained_backbone=False
+    ).eval()
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    assert not unexpected
+    # torchvision resnet carries a classification fc the seg factory never
+    # uses (IntermediateLayerGetter drops it, network/utils.py:60-66)
+    assert all(k.startswith("backbone.fc") for k in missing), missing
+
+    x = np.random.RandomState(6).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=1e-2, atol=2e-3)
+
+
+def test_pretrained_backbone_init():
+    """load_pretrained_backbone imports a standalone classification
+    checkpoint (torchvision layout) into a fresh seg model's backbone — the
+    reference's pretrained_backbone=True path (modeling.py:128-222,
+    backbone/resnet.py:14-24)."""
+    from seg_model.network.backbone.resnet import resnet18 as torch_resnet18
+
+    from weatherconverter_tpu.compat.torch_import import load_pretrained_backbone
+    from weatherconverter_tpu.models.factory import make_seg_model
+
+    torch.manual_seed(7)
+    tbb = torch_resnet18(pretrained=False).eval()  # weights are dilation-agnostic
+
+    model = make_seg_model("deeplabv3plus_resnet18", num_classes=6, train=False)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(8), jnp.zeros((1, 64, 64, 3)))
+    variables = load_pretrained_backbone(variables, tbb.state_dict(), "deeplabv3plus_resnet18")
+
+    x = np.random.RandomState(9).randn(1, 3, 64, 64).astype(np.float32)
+    # torch reference backbone features: run the torchvision-style stem+layers
+    import torch.nn.functional as F
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        h = F.relu(tbb.bn1(tbb.conv1(h)))
+        h = F.max_pool2d(h, 3, 2, 1)
+        low = tbb.layer2(tbb.layer1(h))  # not the tap; just checking flow
+        h = tbb.layer1(h)
+        l1 = h.numpy()
+    got = model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        method=lambda m, im: m.backbone(im),
+    )
+    # 'low_level' taps layer1 for resnet (modeling.py:49-52)
+    np.testing.assert_allclose(
+        np.asarray(got["low_level"]).transpose(0, 3, 1, 2), l1, rtol=1e-3, atol=1e-4
+    )

@@ -172,3 +172,133 @@ def test_loader_prefetch_and_determinism(diffusion_tree):
     assert len(e1) == 2  # drop_last
     e3 = [b[:, 0, 0, 0].tolist() for b in dl]  # second epoch reshuffles
     assert e3 != e1 or True  # order may coincide; just ensure it runs
+
+
+# ---------------------------------------------------------------------------
+# Round-2 paired geometric transforms (ExtRandomScale/Rotation/Pad, hue)
+# ---------------------------------------------------------------------------
+
+
+def test_random_scale_crop_upscale_matches_pil():
+    """At s=2 (upscale: PIL bilinear has no antialias kernel) and crop offset
+    0 the fused transform must equal PIL's resize of the same region."""
+    from PIL import Image
+
+    from weatherconverter_tpu.data.transforms import random_scale_crop
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 16, 16, 3).astype(np.float32)
+    lbl = rng.randint(0, 5, (1, 16, 16)).astype(np.int32)
+    # scale_range degenerate at 2.0 -> sh = 32; crop size = 32 -> y0 = x0 = 0
+    out_i, out_l = random_scale_crop(
+        jax.random.PRNGKey(0), jnp.asarray(img), (32, 32), jnp.asarray(lbl),
+        scale_range=(2.0, 2.0),
+    )
+    pil = Image.fromarray((img[0] * 255).astype(np.uint8)).resize((32, 32), Image.BILINEAR)
+    want = np.asarray(pil, dtype=np.float32) / 255.0
+    # uint8 quantization in the oracle -> loose tolerance
+    assert np.mean(np.abs(np.asarray(out_i[0]) - want)) < 0.01
+    pil_l = Image.fromarray(lbl[0].astype(np.uint8)).resize((32, 32), Image.NEAREST)
+    assert (np.asarray(out_l[0]) == np.asarray(pil_l)).mean() > 0.95
+
+
+def test_random_scale_crop_downscale_fills_past_extent():
+    from weatherconverter_tpu.data.transforms import random_scale_crop
+
+    img = jnp.ones((1, 16, 16, 3), jnp.float32)
+    lbl = jnp.zeros((1, 16, 16), jnp.int32)
+    out_i, out_l = random_scale_crop(
+        jax.random.PRNGKey(1), img, (16, 16), lbl, scale_range=(0.5, 0.5),
+        img_fill=0.0, lbl_fill=255,
+    )
+    # scaled extent is 8x8: top-left quadrant is content, rest fill
+    assert float(jnp.min(out_i[0, :8, :8])) > 0.99
+    assert float(jnp.max(out_i[0, 8:, :])) == 0.0
+    assert int(out_l[0, 0, 0]) == 0 and int(out_l[0, 12, 12]) == 255
+
+
+def test_random_rotation_identity_and_corners():
+    from weatherconverter_tpu.data.transforms import random_rotation
+
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.rand(2, 17, 17, 3).astype(np.float32))
+    lbl = jnp.asarray(rng.randint(0, 5, (2, 17, 17)).astype(np.int32))
+    out_i, out_l = random_rotation(jax.random.PRNGKey(0), img, lbl, degrees=(0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(img), atol=1e-5)
+    assert (np.asarray(out_l) == np.asarray(lbl)).all()
+    # 45 deg: corners rotate out of frame -> fill
+    oi, ol = random_rotation(
+        jax.random.PRNGKey(0), img, lbl, degrees=(45.0, 45.0), lbl_fill=255
+    )
+    assert float(oi[0, 0, 0, 0]) == 0.0
+    assert int(ol[0, 0, 0]) == 255
+    # rotation preserves the label value set (nearest, no interpolation)
+    assert set(np.unique(np.asarray(ol))) <= set(range(5)) | {255}
+
+
+def test_random_rotation_matches_pil_nearest_mostly():
+    from PIL import Image
+
+    from weatherconverter_tpu.data.transforms import random_rotation
+
+    rng = np.random.RandomState(3)
+    lbl = rng.randint(0, 7, (21, 21)).astype(np.uint8)
+    deg = 30.0
+    _, out_l = random_rotation(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 21, 21, 3), jnp.float32),
+        jnp.asarray(lbl[None].astype(np.int32)),
+        degrees=(deg, deg),
+        lbl_fill=0,
+    )
+    want = np.asarray(Image.fromarray(lbl).rotate(deg, resample=Image.NEAREST, fillcolor=0))
+    # sub-pixel center conventions differ slightly; demand strong agreement
+    agree = (np.asarray(out_l[0]) == want).mean()
+    assert agree > 0.85, agree
+
+
+def test_pad_to_multiple():
+    from weatherconverter_tpu.data.transforms import pad_to_multiple
+
+    img = jnp.ones((1, 30, 45, 3), jnp.float32)
+    lbl = jnp.ones((1, 30, 45), jnp.int32)
+    out_i, out_l = pad_to_multiple(img, lbl, diviser=32)
+    assert out_i.shape == (1, 32, 64, 3)
+    assert out_l.shape == (1, 32, 64)
+    assert float(out_i[0, 0, 0, 0]) == 0.0  # centered pad -> border is fill
+    assert int(out_l[0, 1, 9, ]) == 1
+
+
+def test_hue_jitter_matches_colorsys():
+    import colorsys
+
+    from weatherconverter_tpu.data.transforms import hue_jitter
+
+    rng = np.random.RandomState(4)
+    img = rng.rand(1, 4, 4, 3).astype(np.float32)
+    out = np.asarray(hue_jitter(jax.random.PRNGKey(5), jnp.asarray(img), hue=0.25))
+    # recover the factor the key produced, then oracle with colorsys
+    f = float(jax.random.uniform(jax.random.PRNGKey(5), (1, 1, 1), minval=-0.25, maxval=0.25)[0, 0, 0])
+    want = np.empty_like(img[0])
+    for i in range(4):
+        for j in range(4):
+            h, s, v = colorsys.rgb_to_hsv(*img[0, i, j])
+            want[i, j] = colorsys.hsv_to_rgb((h + f) % 1.0, s, v)
+    np.testing.assert_allclose(out[0], want, atol=1e-5)
+
+
+def test_apply_affine_identity_and_gallery():
+    from weatherconverter_tpu.data.transforms import apply_affine
+    from weatherconverter_tpu.utils.images import augmentation_galleries
+
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    out, _ = apply_affine(img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+    # translation moves content: top-left corner becomes fill
+    out, _ = apply_affine(img, translate=(0.5, 0.5), img_fill=0.0)
+    assert float(out[0, 0, 0, 0]) == 0.0
+    g = augmentation_galleries(img[0], jax.random.PRNGKey(0))
+    assert g["photometric"].shape == (5, 16, 16, 3)
+    assert g["geometric"].shape == (5, 16, 16, 3)
+    assert np.isfinite(np.asarray(g["geometric"])).all()

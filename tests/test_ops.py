@@ -202,3 +202,51 @@ def test_global_avg_pool(rng):
     np.testing.assert_allclose(
         I.global_avg_pool(x, keepdims=False), np.asarray(x).mean(axis=(1, 2)), rtol=1e-5
     )
+
+
+def test_flash_attention_backward_matches_reference_vjp():
+    """The Pallas flash BACKWARD (VMEM-blockwise, no (N,N) in HBM) must match
+    jnp autodiff of the reference attention (VERDICT r1 item 9)."""
+    from weatherconverter_tpu.ops.attention import attention_reference, flash_attention
+
+    B, H, N, D = 2, 2, 256, 32
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (B, H, N, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, N, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, N, D), jnp.float32)
+    g = jax.random.normal(kg, (B, H, N, D), jnp.float32)
+
+    out_f, vjp_f = jax.vjp(flash_attention, q, k, v)
+    out_r, vjp_r = jax.vjp(attention_reference, q, k, v)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=2e-5, rtol=1e-4)
+    for got, want, name in zip(vjp_f(g), vjp_r(g), "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_attention_backward_bf16_path():
+    from weatherconverter_tpu.ops.attention import attention_reference, flash_attention
+
+    B, H, N, D = 1, 2, 256, 32
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, N, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, H, N, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, H, N, D), jnp.bfloat16)
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(attention_reference(q, k, v).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got, dtype=np.float32), np.asarray(want, dtype=np.float32),
+            atol=0.15, rtol=0.1, err_msg=f"d{name} mismatch",
+        )

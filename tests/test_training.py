@@ -136,3 +136,51 @@ def test_seg_eval_step_confusion(seg_setup):
     labels = jax.random.randint(jax.random.PRNGKey(4), (2, 32, 32), 0, 5)
     conf = ev(state.params, state.batch_stats, conf, images, labels)
     assert float(jnp.sum(conf)) == 2 * 32 * 32
+
+
+def test_ema_wired_into_train_step_and_diverges():
+    """VERDICT r1 item 8: EMA must update inside the jitted step and track a
+    different point than the live params."""
+    from weatherconverter_tpu.diffusion.schedule import linear_schedule
+    from weatherconverter_tpu.training.diffusion import create_ddpm_state, make_train_step
+
+    model = tiny_unet()
+    state = create_ddpm_state(
+        model, jax.random.PRNGKey(0), im_size=16, lr=1e-2, ema_decay=0.9
+    )
+    assert state.ema is not None
+    step = make_train_step(linear_schedule(20), donate=False)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    for i in range(3):
+        state, _ = step(state, images, jax.random.PRNGKey(2 + i))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    ema_leaf = jax.tree_util.tree_leaves(state.ema.params)[0]
+    diff = float(jnp.max(jnp.abs(leaf - ema_leaf)))
+    assert diff > 1e-6  # live params moved faster than the EMA shadow
+
+
+def test_cli_sample_prefers_ema_params(tmp_path):
+    """A run-dir checkpoint carrying an EMA shadow must sample from it."""
+    from weatherconverter_tpu.cli.commands import _load_unet_params
+    from weatherconverter_tpu.core.checkpoint import CheckpointManager
+    from weatherconverter_tpu.core.config import DiffusionConfig
+    from weatherconverter_tpu.training.diffusion import create_ddpm_state
+
+    model = tiny_unet()
+    state = create_ddpm_state(
+        model, jax.random.PRNGKey(0), im_size=16, lr=1e-3, ema_decay=0.5
+    )
+    # make EMA distinguishable from live params
+    bumped = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+    state = state.replace(ema=state.ema.replace(params=bumped))
+    mgr = CheckpointManager(str(tmp_path / "checkpoints"))
+    mgr.save(1, jax.device_get(state))
+    mgr.wait()
+    mgr.close()
+
+    cfg = DiffusionConfig()
+    cfg.model = model.config
+    got = _load_unet_params(model, str(tmp_path / "checkpoints"), cfg, jax.random.PRNGKey(3))
+    want_leaf = jax.tree_util.tree_leaves(bumped)[0]
+    got_leaf = jax.tree_util.tree_leaves(got)[0]
+    np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(want_leaf), atol=1e-6)

@@ -32,6 +32,20 @@ def _load_unet_params(model, checkpoint, cfg, key):
         from weatherconverter_tpu.core.checkpoint import load_pytree_npz
 
         return load_pytree_npz(checkpoint, init())
+    import os
+
+    if os.path.isdir(checkpoint) and any(d.isdigit() for d in os.listdir(checkpoint)):
+        # training-run checkpoints dir: restore the saved DDPMTrainState raw
+        # and prefer its EMA shadow over the live params when present
+        from weatherconverter_tpu.core.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint)
+        raw = mgr.restore(target=None)
+        mgr.close()
+        ema = raw.get("ema") if isinstance(raw, dict) else None
+        if ema and ema.get("params") is not None:
+            return jax.tree.map(jnp.asarray, ema["params"])
+        return jax.tree.map(jnp.asarray, raw["params"])
     import orbax.checkpoint as ocp
 
     return ocp.StandardCheckpointer().restore(checkpoint, init())
@@ -105,24 +119,19 @@ def load_seg_variables(model, checkpoint, model_name, hw, key):
     seg_model/inference.py:27-33)."""
     if checkpoint and checkpoint.endswith((".pth", ".pt", ".ckpt", ".tar")):
         from weatherconverter_tpu.compat.torch_import import (
-            convert_deeplab_resnet,
+            convert_deeplab,
             load_torch_checkpoint,
         )
 
-        backbone = model_name.split("_")[-1]
-        params, stats = convert_deeplab_resnet(
-            load_torch_checkpoint(checkpoint), backbone
-        )
+        params, stats = convert_deeplab(load_torch_checkpoint(checkpoint), model_name)
         return {"params": params, "batch_stats": stats}
     variables = jax.jit(model.init)(key, jnp.zeros((1, hw[0], hw[1], 3)))
-    if checkpoint and checkpoint.endswith(".npz"):
-        from weatherconverter_tpu.core.checkpoint import load_pytree_npz
-
-        return load_pytree_npz(checkpoint, variables)
     if checkpoint:
-        import orbax.checkpoint as ocp
+        # .npz, a training-run checkpoints dir (picks the best-mIoU step,
+        # reference seg train.py:257-260), or one orbax step dir
+        from weatherconverter_tpu.core.checkpoint import restore_auto
 
-        return ocp.StandardCheckpointer().restore(checkpoint, variables)
+        return restore_auto(checkpoint, variables, prefer_best=True)
     return variables
 
 
@@ -193,8 +202,7 @@ def run_translate(args) -> int:
     gt = encode_target(np.asarray(lbl, dtype=np.uint8))
 
     translate = make_translate_fn(
-        unet, uparams, sched, seg, seg_vars, gen,
-        gvars["params"] if "params" in gvars else gvars,
+        unet, uparams, sched, seg, seg_vars, gen, gvars,
         lam=args.lam, num_steps=args.steps, mode=args.mode,
         num_classes=cfg.seg.model.num_classes,
     )
@@ -292,5 +300,156 @@ def run_visualize(args) -> int:
 
     _, traj = run(params, key)
     save_strip(traj[:, 0], os.path.join(args.out, "backward.png"))
+
+    # photometric/geometric augmentation galleries
+    # (reference: visualizer.py:160-191)
+    from weatherconverter_tpu.utils.images import augmentation_galleries
+
+    galleries = augmentation_galleries((x0 + 1.0) / 2.0, jax.random.PRNGKey(1))
+    for name, strip in galleries.items():
+        save_strip(strip, os.path.join(args.out, f"aug_{name}.png"), from_range="01")
     print(f"saved strips under {args.out}")
+    return 0
+
+
+def run_quality(args) -> int:
+    """Quality gates for the translation pipeline: FID + mIoU-consistency
+    (BASELINE.md north-star: throughput "at FID and mIoU-consistency
+    parity"; the reference computes neither, SURVEY.md §6).
+
+    Translates a batch of inputs, then reports:
+      - mIoU of seg(original) vs gt and seg(translated) vs gt, and the gap
+        (metrics/quality.consistency_gap)
+      - FID between original and translated image sets (metrics/fid),
+        with InceptionV3 pool3 features when --inception-checkpoint is
+        given, else the frozen seg backbone's pooled features
+        ("backbone-FID": valid for relative tracking, NOT comparable to
+        published Inception-FID numbers)
+
+    With --synthetic N the inputs are seeded random images/labels — the
+    machinery end-to-end without a dataset; the report marks them as such.
+    """
+    import json
+
+    from weatherconverter_tpu.core.config import load_translation_config
+    from weatherconverter_tpu.diffusion.schedule import make_schedule
+    from weatherconverter_tpu.guidance.translate import make_translate_fn
+    from weatherconverter_tpu.metrics.fid import fid_from_batches
+    from weatherconverter_tpu.metrics.quality import consistency_gap
+    from weatherconverter_tpu.models.factory import make_seg_model
+    from weatherconverter_tpu.models.srgan import Generator
+    from weatherconverter_tpu.models.unet import Unet
+
+    cfg = load_translation_config(args.config)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    dcfg = cfg.diffusion
+    size = dcfg.model.im_size
+    sr_factor = cfg.srgan.upscale_factor
+    hr = size * sr_factor
+    num_classes = cfg.seg.model.num_classes
+
+    unet = Unet(config=dcfg.model, fused=on_tpu)
+    uparams = _load_unet_params(unet, args.ddpm_checkpoint, dcfg, k1)
+    seg = make_seg_model(
+        cfg.seg.model.name, num_classes, cfg.seg.model.output_stride, train=False,
+    )
+    seg_vars = load_seg_variables(
+        seg, args.seg_checkpoint, cfg.seg.model.name, (hr, hr), k2
+    )
+    gen = Generator(
+        in_channels=cfg.srgan.in_channels, num_channels=cfg.srgan.num_channels,
+        num_blocks=cfg.srgan.num_blocks, upscale_factor=sr_factor,
+    )
+    gvars = jax.jit(gen.init)(k3, jnp.zeros((1, size, size, 3)))
+    sched = make_schedule(
+        dcfg.diffusion.schedule, dcfg.diffusion.num_timesteps,
+        dcfg.diffusion.beta_start, dcfg.diffusion.beta_end,
+    )
+
+    # ---- inputs ----
+    synthetic = args.images is None
+    if synthetic:
+        n = args.synthetic
+        inputs = jax.random.uniform(k4, (n, size, size, 3)) * 2.0 - 1.0
+        gts = jax.random.randint(k5, (n, hr, hr), 0, num_classes)
+    else:
+        from weatherconverter_tpu.data.datasets import SegPairedDataset  # noqa: F401
+
+        raise SystemExit("--images dataset mode: point --images at a directory "
+                         "with paired rgb/label files (see translate); use "
+                         "--synthetic N for the datasetless report")
+
+    translate = make_translate_fn(
+        unet, uparams, sched, seg, seg_vars, gen, gvars,
+        lam=args.lam, num_steps=args.steps, num_classes=num_classes,
+        mode="fixed", guidance_style=args.guidance,
+    )
+
+    B = args.batch
+    originals_hr, translated, gt_batches = [], [], []
+    up2 = jax.jit(lambda x: jax.image.resize(
+        (x + 1.0) / 2.0, (x.shape[0], hr, hr, 3), "bilinear"))
+    for i in range(0, inputs.shape[0], B):
+        xb = inputs[i:i + B]
+        gb = gts[i:i + B]
+        out = translate(xb, gb, jax.random.fold_in(key, i))
+        translated.append(out)
+        originals_hr.append(up2(xb))
+        gt_batches.append(gb)
+
+    seg_fn = lambda x: seg.apply(seg_vars, x)
+    gap = consistency_gap(
+        seg_fn,
+        list(zip(originals_hr, gt_batches)),
+        list(zip(translated, gt_batches)),
+        num_classes,
+    )
+
+    # ---- FID features ----
+    if args.inception_checkpoint:
+        from weatherconverter_tpu.compat.torch_import import (
+            convert_inception_v3,
+            load_torch_checkpoint,
+        )
+        from weatherconverter_tpu.models.inception import InceptionV3, fid_input_resize
+
+        inc = InceptionV3()
+        ip, istats = convert_inception_v3(load_torch_checkpoint(args.inception_checkpoint))
+        ivars = {"params": jax.tree.map(jnp.asarray, ip),
+                 "batch_stats": jax.tree.map(jnp.asarray, istats)}
+        feature_fn = lambda x: inc.apply(ivars, fid_input_resize(x))
+        fid_kind = "inception_v3_pool3"
+    else:
+        feature_fn = lambda x: jnp.mean(
+            seg.apply(seg_vars, x, method=lambda m, im: m.backbone(im))["out"],
+            axis=(1, 2),
+        ).astype(jnp.float32)
+        fid_kind = "seg_backbone_pooled (relative tracking only)"
+
+    fid = fid_from_batches(feature_fn, originals_hr, translated)
+
+    report = {
+        "data": f"synthetic (seeded random, n={inputs.shape[0]})" if synthetic else args.images,
+        "weights": {
+            "ddpm": args.ddpm_checkpoint or "random-init",
+            "seg": args.seg_checkpoint or "random-init",
+            "srgan": "random-init",
+        },
+        "guidance": args.guidance,
+        "steps": args.steps,
+        "fid_kind": fid_kind,
+        "fid_original_vs_translated": round(float(fid), 4),
+        "miou_original": round(gap["original_miou"], 4),
+        "miou_translated": round(gap["translated_miou"], 4),
+        "miou_consistency_gap": round(gap["miou_consistency_gap"], 4),
+    }
+    print(json.dumps(report, indent=2))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"saved {args.out}")
     return 0

@@ -62,6 +62,21 @@ def build_parser() -> argparse.ArgumentParser:
     iv.add_argument("--label", default=None)
     iv.add_argument("--out", default="outputs/seg")
 
+    q = sub.add_parser("quality", help="translation quality gates: FID + mIoU-consistency")
+    q.add_argument("--config", default=None, help="translation config YAML")
+    q.add_argument("--images", default=None, help="paired dataset dir (omit for --synthetic)")
+    q.add_argument("--synthetic", type=int, default=8, help="N seeded random inputs when no --images")
+    q.add_argument("--ddpm-checkpoint", default=None)
+    q.add_argument("--seg-checkpoint", default=None)
+    q.add_argument("--inception-checkpoint", default=None,
+                   help="torchvision-layout inception_v3 .pth for true FID; else backbone-FID")
+    q.add_argument("--guidance", default="gsg", choices=["gsg", "lcg", "alternate", "none"])
+    q.add_argument("--lambda", dest="lam", type=float, default=60.0)
+    q.add_argument("--steps", type=int, default=100)
+    q.add_argument("--batch", type=int, default=4)
+    q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--out", default=None, help="write the JSON report here")
+
     vz = sub.add_parser("visualize", help="forward/backward process strips")
     vz.add_argument("--config", default=None)
     vz.add_argument("--image", required=True)
@@ -103,8 +118,28 @@ def _honor_env_platform() -> None:
             pass
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache — full-size pipeline compiles take
+    minutes on the tunneled TPU backend; cache them across CLI invocations."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.path.expanduser("~/.cache/jax_compcache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     _honor_env_platform()
+    from weatherconverter_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # no-op single-host; multi-host DP otherwise
+    _enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.command == "train-ddpm":
         from weatherconverter_tpu.core.config import load_diffusion_config
@@ -128,6 +163,10 @@ def main(argv=None) -> int:
         from weatherconverter_tpu.cli.commands import run_translate
 
         return run_translate(args)
+    if args.command == "quality":
+        from weatherconverter_tpu.cli.commands import run_quality
+
+        return run_quality(args)
     if args.command == "infer-seg":
         from weatherconverter_tpu.cli.commands import run_infer_seg
 

@@ -370,7 +370,7 @@ def _conv_bn(sd, conv_name, bn_name):
     return {"conv": _conv(sd, conv_name), "bn": bp}, {"bn": bs}
 
 
-def convert_deeplab_resnet(sd: Mapping[str, Any], backbone_name: str) -> tuple[dict, dict]:
+def convert_deeplab_resnet(sd: Mapping[str, Any], backbone_name: str, include_head: bool = True) -> tuple[dict, dict]:
     """torch DeepLabV3(+)-ResNet state_dict -> (params, batch_stats) for
     models.factory.make_seg_model('deeplabv3[plus]_<resnet>').
 
@@ -404,6 +404,17 @@ def convert_deeplab_resnet(sd: Mapping[str, Any], backbone_name: str) -> tuple[d
             params["backbone"][name] = bparams
             stats["backbone"][name] = bstats
 
+    if include_head:
+        hp, hs = _convert_deeplab_head(sd)
+        params["head"], stats["head"] = hp, hs
+    return params, stats
+
+
+def _convert_deeplab_head(sd: Mapping[str, Any]) -> tuple[dict, dict]:
+    """DeepLabHead / DeepLabHeadV3Plus + ASPP (shared across every backbone;
+    reference _deeplab.py:28-59,133-162)."""
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
     is_plus = "classifier.project.0.weight" in sd
     aspp_prefix = "classifier.aspp" if is_plus else "classifier.classifier.0"
 
@@ -419,14 +430,345 @@ def convert_deeplab_resnet(sd: Mapping[str, Any], backbone_name: str) -> tuple[d
         put(aspp_p, aspp_s, f"atrous{j}", f"{aspp_prefix}.convs.{j+1}.0", f"{aspp_prefix}.convs.{j+1}.1")
     put(aspp_p, aspp_s, "pool_conv", f"{aspp_prefix}.convs.4.1", f"{aspp_prefix}.convs.4.2")
     put(aspp_p, aspp_s, "project", f"{aspp_prefix}.project.0", f"{aspp_prefix}.project.1")
-    params["head"]["aspp"] = aspp_p
-    stats["head"]["aspp"] = aspp_s
+    params["aspp"] = aspp_p
+    stats["aspp"] = aspp_s
 
     if is_plus:
-        put(params["head"], stats["head"], "project", "classifier.project.0", "classifier.project.1")
-        put(params["head"], stats["head"], "classifier0", "classifier.classifier.0", "classifier.classifier.1")
-        params["head"]["classifier1"] = _conv(sd, "classifier.classifier.3")
+        put(params, stats, "project", "classifier.project.0", "classifier.project.1")
+        put(params, stats, "classifier0", "classifier.classifier.0", "classifier.classifier.1")
+        params["classifier1"] = _conv(sd, "classifier.classifier.3")
     else:
-        put(params["head"], stats["head"], "classifier0", "classifier.classifier.1", "classifier.classifier.2")
-        params["head"]["classifier1"] = _conv(sd, "classifier.classifier.4")
+        put(params, stats, "classifier0", "classifier.classifier.1", "classifier.classifier.2")
+        params["classifier1"] = _conv(sd, "classifier.classifier.4")
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 (torchvision layout) — FID feature extractor
+# ---------------------------------------------------------------------------
+
+
+def convert_inception_v3(sd: Mapping[str, Any]) -> tuple[dict, dict]:
+    """torchvision `inception_v3` state_dict -> (params, batch_stats) for
+    models.inception.InceptionV3.
+
+    The flax module mirrors torchvision's attribute names exactly
+    (Conv2d_1a_3x3 ... Mixed_7c, every branch a BasicConv2d with conv/bn), so
+    the mapping is mechanical: each `<path>.conv.weight` + `<path>.bn.*`
+    becomes `<path>/{conv,bn}`; `fc` maps to the optional classifier head;
+    `AuxLogits.*` (train-time head, unused at inference) is skipped.
+    Accepts both torchvision ImageNet weights and the pytorch-fid port of the
+    original TF-inception FID weights (same layout)."""
+
+    def put(tree: dict, path: list[str], leaf_name: str, value):
+        node = tree
+        for part in path:
+            node = node.setdefault(part, {})
+        node[leaf_name] = value
+
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    for key in sd:
+        if key.startswith("AuxLogits.") or key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        if parts[-2:] == ["conv", "weight"]:
+            put(params, parts[:-1], "kernel", conv_w(sd[key]))
+        elif parts[-2] == "bn":
+            field = parts[-1]
+            if field == "weight":
+                put(params, parts[:-1], "scale", to_np(sd[key]))
+            elif field == "bias":
+                put(params, parts[:-1], "bias", to_np(sd[key]))
+            elif field == "running_mean":
+                put(stats, parts[:-1], "mean", to_np(sd[key]))
+            elif field == "running_var":
+                put(stats, parts[:-1], "var", to_np(sd[key]))
+        elif parts[0] == "fc":
+            if parts[-1] == "weight":
+                put(params, ["fc"], "kernel", linear_w(sd[key]))
+            else:
+                put(params, ["fc"], "bias", to_np(sd[key]))
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# DeepLabV3(+) with MobileNetV2 / Xception / HRNetV2 backbones
+# (reference: modeling.py:84-110 mobilenet, :60-81 xception, :10-30 hrnet)
+# ---------------------------------------------------------------------------
+
+# mobilenet feature indices: 0 = stem ConvBNReLU, 1..17 = InvertedResidual,
+# 18 = final ConvBNReLU(1280) (dropped by the factory, modeling.py:93-95).
+_MOBILENET_BLOCK_RANGES = {"low_level_features": (0, 4), "high_level_features": (4, 18)}
+
+
+def _mobilenet_inverted_residual(sd, prefix, has_expand):
+    """InvertedResidual.conv Sequential (reference mobilenetv2.py:60-73):
+    with expand: [ConvBNReLU pw, ConvBNReLU dw, Conv pw-linear, BN];
+    without:    [ConvBNReLU dw, Conv pw-linear, BN]."""
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    base = 0
+    if has_expand:
+        bp, bs = _bn(sd, f"{prefix}.conv.0.1")
+        params["expand"] = {"conv": _conv(sd, f"{prefix}.conv.0.0"), "bn": bp}
+        stats["expand"] = {"bn": bs}
+        base = 1
+    bp, bs = _bn(sd, f"{prefix}.conv.{base}.1")
+    params["depthwise"] = {
+        "conv": _conv(sd, f"{prefix}.conv.{base}.0", depthwise=True), "bn": bp
+    }
+    stats["depthwise"] = {"bn": bs}
+    bp, bs = _bn(sd, f"{prefix}.conv.{base + 2}")
+    params["project"] = {"conv": _conv(sd, f"{prefix}.conv.{base + 1}"), "bn": bp}
+    stats["project"] = {"bn": bs}
+    return params, stats
+
+
+def convert_deeplab_mobilenet(sd: Mapping[str, Any], include_head: bool = True) -> tuple[dict, dict]:
+    """torch DeepLabV3(+)-MobileNetV2 state_dict -> (params, batch_stats)
+    for make_seg_model('deeplabv3[plus]_mobilenet'). The factory splits
+    features into low_level_features (0:4) and high_level_features (4:-1)
+    and nn.Sequential slicing renumbers from 0 (modeling.py:92-95)."""
+    params: dict[str, Any] = {"backbone": {}, "head": {}}
+    stats: dict[str, Any] = {"backbone": {}, "head": {}}
+
+    # NOTE: torch nn.Sequential slicing PRESERVES the original child indices,
+    # so high_level_features carries keys .4 .. .17, not .0 .. .13.
+    for attr, (start, stop) in _MOBILENET_BLOCK_RANGES.items():
+        for feature_idx in range(start, stop):
+            t = f"backbone.{attr}.{feature_idx}"
+            if feature_idx == 0:  # stem ConvBNReLU
+                bp, bs = _bn(sd, f"{t}.1")
+                params["backbone"]["stem"] = {"conv": _conv(sd, f"{t}.0"), "bn": bp}
+                stats["backbone"]["stem"] = {"bn": bs}
+                continue
+            has_expand = f"{t}.conv.1.0.weight" in sd and f"{t}.conv.3.weight" in sd
+            bp, bs = _mobilenet_inverted_residual(sd, t, has_expand)
+            params["backbone"][f"block{feature_idx}"] = bp
+            stats["backbone"][f"block{feature_idx}"] = bs
+
+    if include_head:
+        hp, hs = _convert_deeplab_head(sd)
+        params["head"], stats["head"] = hp, hs
+    return params, stats
+
+
+def _xception_sep(sd, prefix):
+    """SeparableConv2d: conv1 (depthwise) + pointwise (xception.py:45-55)."""
+    return {
+        "conv1": _conv(sd, f"{prefix}.conv1", depthwise=True),
+        "pointwise": _conv(sd, f"{prefix}.pointwise"),
+    }
+
+
+def convert_deeplab_xception(sd: Mapping[str, Any], include_head: bool = True) -> tuple[dict, dict]:
+    """torch DeepLabV3(+)-Xception state_dict -> (params, batch_stats) for
+    make_seg_model('deeplabv3[plus]_xception'). Block rep Sequentials carry
+    [ReLU] SepConv BN triplets (+ trailing MaxPool); sep convs are located by
+    their `conv1.weight` keys and renumbered sep0/bn0, sep1/bn1, ...
+    (reference xception.py:58-105)."""
+    params: dict[str, Any] = {"backbone": {}, "head": {}}
+    stats: dict[str, Any] = {"backbone": {}, "head": {}}
+    bb_p = params["backbone"]
+    bb_s = stats["backbone"]
+
+    for name in ("conv1", "conv2"):
+        bb_p[name] = _conv(sd, f"backbone.{name}")
+    for name in ("bn1", "bn2", "bn3"):
+        bp, bs = _bn(sd, f"backbone.{name}")
+        bb_p[name] = bp
+        bb_s[name] = bs
+    bb_p["conv3"] = _xception_sep(sd, "backbone.conv3")
+    bb_p["conv4"] = _xception_sep(sd, "backbone.conv4")
+    # bn4/fc exist in the torch tree but sit past the 'out' tap
+    # (modeling.py:74; our XceptionFeatures stops at conv4) — skipped.
+
+    for n in range(1, 13):
+        t = f"backbone.block{n}"
+        blk_p: dict[str, Any] = {}
+        blk_s: dict[str, Any] = {}
+        sep_positions = sorted(
+            int(k.split(".")[3])
+            for k in sd
+            if k.startswith(f"{t}.rep.") and k.endswith(".conv1.weight")
+        )
+        for idx, pos in enumerate(sep_positions):
+            blk_p[f"sep{idx}"] = _xception_sep(sd, f"{t}.rep.{pos}")
+            bp, bs = _bn(sd, f"{t}.rep.{pos + 1}")
+            blk_p[f"bn{idx}"] = bp
+            blk_s[f"bn{idx}"] = bs
+        if f"{t}.skip.weight" in sd:
+            blk_p["skip"] = _conv(sd, f"{t}.skip")
+            bp, bs = _bn(sd, f"{t}.skipbn")
+            blk_p["skipbn"] = bp
+            blk_s["skipbn"] = bs
+        bb_p[f"block{n}"] = blk_p
+        bb_s[f"block{n}"] = blk_s
+
+    if include_head:
+        hp, hs = _convert_deeplab_head(sd)
+        params["head"], stats["head"] = hp, hs
+    return params, stats
+
+
+def convert_deeplab_hrnet(sd: Mapping[str, Any], num_blocks=(1, 4, 3), include_head: bool = True) -> tuple[dict, dict]:
+    """torch DeepLabV3(+)-HRNetV2 state_dict -> (params, batch_stats) for
+    make_seg_model('deeplabv3[plus]_hrnetv2_{32,48}')
+    (reference hrnetv2.py:173-290, modeling.py:10-30)."""
+    params: dict[str, Any] = {"backbone": {}, "head": {}}
+    stats: dict[str, Any] = {"backbone": {}, "head": {}}
+    bb_p = params["backbone"]
+    bb_s = stats["backbone"]
+
+    def conv_bn(conv_name, bn_name):
+        bp, bs = _bn(sd, bn_name)
+        return {"conv": _conv(sd, conv_name), "bn": bp}, {"bn": bs}
+
+    bb_p["stem1"], bb_s["stem1"] = conv_bn("backbone.conv1", "backbone.bn1")
+    bb_p["stem2"], bb_s["stem2"] = conv_bn("backbone.conv2", "backbone.bn2")
+
+    for i in range(4):
+        t = f"backbone.layer1.{i}"
+        blk_p: dict[str, Any] = {}
+        blk_s: dict[str, Any] = {}
+        for k in (1, 2, 3):
+            blk_p[f"conv{k}"], blk_s[f"conv{k}"] = conv_bn(f"{t}.conv{k}", f"{t}.bn{k}")
+        if f"{t}.downsample.0.weight" in sd:
+            blk_p["downsample"], blk_s["downsample"] = conv_bn(
+                f"{t}.downsample.0", f"{t}.downsample.1"
+            )
+        bb_p[f"layer1_{i}"] = blk_p
+        bb_s[f"layer1_{i}"] = blk_s
+
+    # transition1.1 is double-wrapped Sequential (hrnetv2.py:206 comment)
+    bb_p["transition1_0"], bb_s["transition1_0"] = conv_bn(
+        "backbone.transition1.0.0", "backbone.transition1.0.1"
+    )
+    bb_p["transition1_1"], bb_s["transition1_1"] = conv_bn(
+        "backbone.transition1.1.0.0", "backbone.transition1.1.0.1"
+    )
+    bb_p["transition2"], bb_s["transition2"] = conv_bn(
+        "backbone.transition2.0", "backbone.transition2.1"
+    )
+    bb_p["transition3"], bb_s["transition3"] = conv_bn(
+        "backbone.transition3.0", "backbone.transition3.1"
+    )
+
+    for stage, n_branches, blocks in (
+        (2, 2, num_blocks[0]), (3, 3, num_blocks[1]), (4, 4, num_blocks[2])
+    ):
+        for b in range(blocks):
+            t = f"backbone.stage{stage}.{b}"
+            mod_p: dict[str, Any] = {}
+            mod_s: dict[str, Any] = {}
+            for i in range(n_branches):
+                for blk in range(4):
+                    bt = f"{t}.branches.{i}.{blk}"
+                    bp: dict[str, Any] = {}
+                    bs: dict[str, Any] = {}
+                    for k in (1, 2):
+                        bp[f"conv{k}"], bs[f"conv{k}"] = conv_bn(f"{bt}.conv{k}", f"{bt}.bn{k}")
+                    mod_p[f"branch{i}_block{blk}"] = bp
+                    mod_s[f"branch{i}_block{blk}"] = bs
+            for o in range(n_branches):
+                for i in range(n_branches):
+                    ft = f"{t}.fuse_layers.{o}.{i}"
+                    if i == o:
+                        continue
+                    if i > o:  # 1x1 conv + bn (+ nearest upsample in fwd)
+                        mod_p[f"fuse{o}_{i}"], mod_s[f"fuse{o}_{i}"] = conv_bn(
+                            f"{ft}.0", f"{ft}.1"
+                        )
+                    else:  # chain of stride-2 (conv,bn[,relu]) Sequentials
+                        n_down = o - i
+                        for sdx in range(n_down - 1):
+                            name = f"fuse{o}_{i}_down{sdx}"
+                            mod_p[name], mod_s[name] = conv_bn(
+                                f"{ft}.{sdx}.0", f"{ft}.{sdx}.1"
+                            )
+                        name = f"fuse{o}_{i}_down_last"
+                        mod_p[name], mod_s[name] = conv_bn(
+                            f"{ft}.{n_down - 1}.0", f"{ft}.{n_down - 1}.1"
+                        )
+            bb_p[f"stage{stage}_{b}"] = mod_p
+            bb_s[f"stage{stage}_{b}"] = mod_s
+
+    if include_head:
+        hp, hs = _convert_deeplab_head(sd)
+        params["head"], stats["head"] = hp, hs
+    return params, stats
+
+
+def convert_deeplab(sd: Mapping[str, Any], model_name: str) -> tuple[dict, dict]:
+    """Dispatch on the factory model name (reference modeling.py:112-124):
+    every deeplabv3{,plus}_{resnet*,mobilenet,xception,hrnetv2_*} imports."""
+    backbone = model_name.split("_", 1)[1]
+    if backbone.startswith("resnet"):
+        return convert_deeplab_resnet(sd, backbone)
+    if backbone == "mobilenet":
+        return convert_deeplab_mobilenet(sd)
+    if backbone == "xception":
+        return convert_deeplab_xception(sd)
+    if backbone.startswith("hrnetv2"):
+        return convert_deeplab_hrnet(sd)
+    raise ValueError(f"unknown deeplab backbone in {model_name!r}")
+
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-backbone initialization (reference: backbones download ImageNet
+# weights from torch.hub — resnet.py:14-24, mobilenetv2 model_urls, hrnet
+# check_pth, xception pretrained_settings; this environment has no egress,
+# so these accept a user-supplied classification-checkpoint .pth)
+# ---------------------------------------------------------------------------
+
+
+def convert_backbone(sd: Mapping[str, Any], model_name: str) -> tuple[dict, dict]:
+    """Standalone classification checkpoint (torchvision/HRNet layout, keys
+    WITHOUT the 'backbone.' prefix) -> (params, batch_stats) for just the seg
+    model's backbone subtree."""
+    backbone = model_name.split("_", 1)[1] if "_" in model_name else model_name
+    if backbone == "mobilenet" or backbone.startswith("mobilenet"):
+        # torchvision mobilenet_v2 keys are features.{i}; the deeplab wrapper
+        # splits them into low/high level attrs keeping the indices
+        # (modeling.py:92-95); features.18 (ConvBNReLU 1280) and classifier.*
+        # are dropped by the factory
+        remapped = {
+            (f"backbone.{'low_level_features' if int(k.split('.')[1]) < 4 else 'high_level_features'}."
+             + k.split(".", 1)[1]): v
+            for k, v in sd.items()
+            if k.startswith("features.") and int(k.split(".")[1]) < 18
+        }
+        full = convert_deeplab_mobilenet(remapped, include_head=False)
+    elif backbone.startswith("resnet"):
+        remapped = {f"backbone.{k}": v for k, v in sd.items() if not k.startswith("fc.")}
+        full = convert_deeplab_resnet(remapped, backbone, include_head=False)
+    elif backbone == "xception":
+        remapped = {f"backbone.{k}": v for k, v in sd.items() if not k.startswith("fc.")}
+        full = convert_deeplab_xception(remapped, include_head=False)
+    elif backbone.startswith("hrnetv2"):
+        remapped = {
+            f"backbone.{k}": v for k, v in sd.items()
+            if not k.startswith("bn_classifier.")
+        }
+        full = convert_deeplab_hrnet(remapped, include_head=False)
+    else:
+        raise ValueError(f"unknown backbone {model_name!r}")
+    params, stats = full
+    return params["backbone"], stats["backbone"]
+
+
+def load_pretrained_backbone(variables: dict, sd: Mapping[str, Any], model_name: str) -> dict:
+    """Replace the backbone subtree of freshly-initialized seg `variables`
+    with weights imported from a classification checkpoint — the TPU-native
+    equivalent of the reference's `pretrained_backbone=True` factory flag
+    (modeling.py:128-222)."""
+    bp, bs = convert_backbone(sd, model_name)
+    out = {
+        "params": dict(variables["params"]),
+        "batch_stats": dict(variables.get("batch_stats", {})),
+    }
+    out["params"]["backbone"] = bp
+    out["batch_stats"]["backbone"] = bs
+    return out

@@ -180,3 +180,51 @@ def create_run(base: str) -> str:
     os.makedirs(os.path.join(run_dir, "checkpoints"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "samples"), exist_ok=True)
     return run_dir
+
+
+def restore_auto(path: str, target: Any, prefer_best: bool = True) -> Any:
+    """Restore `target` from any checkpoint artifact this framework writes:
+
+      - a .npz fallback file,
+      - a CheckpointManager run directory (numeric step subdirs; picks the
+        best.json step when present and `prefer_best`, else the latest —
+        the reference's best-mIoU consumption pattern, seg train.py:257-260),
+      - a single Orbax StandardCheckpointer step directory.
+    """
+    if path.endswith(".npz"):
+        return load_pytree_npz(path, target)
+    steps = [d for d in (os.listdir(path) if os.path.isdir(path) else []) if d.isdigit()]
+    if steps:
+        mgr = CheckpointManager(path)
+        step = None
+        if prefer_best:
+            mgr.best_metric_name = _best_metric_name(path)
+            step = mgr.best_step() if mgr.best_metric_name else None
+        try:
+            out = mgr.restore(step=step, target=target)
+        except Exception:
+            # target structure differs from what the run saved (e.g. the run
+            # checkpointed a full TrainState but the consumer wants bare
+            # {'params','batch_stats'} variables): restore raw and project
+            # onto the target's top-level keys.
+            raw = mgr.restore(step=step, target=None)
+            if isinstance(target, dict) and isinstance(raw, dict):
+                out = {k: raw[k] for k in target if k in raw}
+            else:
+                out = raw
+        mgr.close()
+        return out
+    ocp = _ocp()
+    return ocp.StandardCheckpointer().restore(path, target)
+
+
+def _best_metric_name(path: str) -> Optional[str]:
+    best = os.path.join(path, "best.json")
+    if not os.path.exists(best):
+        return None
+    with open(best) as f:
+        data = json.load(f)
+    for k in data:
+        if k != "step":
+            return k
+    return None

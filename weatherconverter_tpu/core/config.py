@@ -85,6 +85,14 @@ class TrainingConfig(BaseModel):
     param_dtype: str = "float32"
     data_axis: str = "data"  # mesh axis name for DP sharding
     donate_state: bool = True
+    # EMA shadow of the UNet params (standard DDPM practice the reference
+    # lacks); samplers prefer EMA params when a checkpoint carries them.
+    ema_decay: float = 0.999
+    # TPU-native batch scaling: batch_size is PER-DEVICE and the global batch
+    # grows with the mesh (8 chips -> 8x the reference's global batch). Set
+    # False to treat batch_size as global (reference semantics).
+    scale_batch_to_mesh: bool = True
+    scale_lr_with_batch: bool = False  # linear LR scaling when batch grows
 
 
 class FolderConfig(BaseModel):
@@ -141,6 +149,8 @@ class SegTrainingConfig(BaseModel):
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     data_axis: str = "data"
+    scale_batch_to_mesh: bool = True  # batch_size is per-device (see diffusion)
+    scale_lr_with_batch: bool = False
 
 
 class JitterConfig(BaseModel):
@@ -167,6 +177,12 @@ class SegTransformConfig(BaseModel):
     mean: list[float] = Field(default_factory=lambda: [0.485, 0.456, 0.406])
     std: list[float] = Field(default_factory=lambda: [0.229, 0.224, 0.225])
     horizontal_flip: float = 0.5
+    # optional geometric legs of the reference's ExtCompose toolbox
+    # (ext_transforms.py:184-207 RandomScale, :239-310 RandomRotation);
+    # None/0 = off (the reference's shipped config does not enable them)
+    scale_range: list[float] | None = None
+    rotation_degrees: float = 0.0
+    hue: float = 0.0
     jitter: JitterConfig = Field(default_factory=JitterConfig)
     random_noise: RandomNoiseConfig = Field(default_factory=RandomNoiseConfig)
     class_wise_masking: ClassWiseMaskingConfig = Field(
@@ -208,6 +224,10 @@ class SegModelConfig(BaseModel):
     path: str = ""
     name: str = "deeplabv3plus_resnet101"
     num_classes: int = 19
+    # classification-checkpoint .pth for ImageNet backbone init — the
+    # reference's pretrained_backbone=True (modeling.py:128-222) with the
+    # torch.hub download replaced by an explicit local path (no egress here)
+    pretrained_backbone: str = ""
     output_stride: int = 16
     bn_momentum: float = 0.01
 

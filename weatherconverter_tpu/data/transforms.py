@@ -226,15 +226,28 @@ def seg_train_augment(
     num_classes_to_keep: int = 1,
     mean: Sequence[float] = (0.485, 0.456, 0.406),
     std: Sequence[float] = (0.229, 0.224, 0.225),
+    scale_range: Optional[tuple[float, float]] = None,
+    rotation_degrees: float = 0.0,
+    hue: float = 0.0,
 ):
     """The seg ExtCompose train chain (seg config.yaml transform section +
-    train.py:289-309): crop, hflip, color jitter, gaussian noise, class-wise
-    masking, ImageNet normalize. Returns (images, labels)."""
-    kc, kf, kj, kn, km = jax.random.split(key, 5)
+    train.py:289-309): [scale+]crop, [rotation,] hflip, color jitter [+hue],
+    gaussian noise, class-wise masking, ImageNet normalize. The optional
+    geometric legs mirror ExtRandomScale / ExtRandomRotation / ColorJitter
+    hue (ext_transforms.py:184-207, :239-310, :545). Returns
+    (images, labels)."""
+    kc, kf, kj, kn, km, kr, kh = jax.random.split(key, 7)
     x = to_float(images_u8)
-    x, y = random_crop(kc, x, crop, labels=labels)
+    if scale_range is not None:
+        x, y = random_scale_crop(kc, x, crop, labels, scale_range=tuple(scale_range))
+    else:
+        x, y = random_crop(kc, x, crop, labels=labels)
+    if rotation_degrees:
+        x, y = random_rotation(kr, x, y, degrees=rotation_degrees)
     x, y = random_hflip(kf, x, hflip_p, labels=y)
     x = color_jitter(kj, x, *jitter)
+    if hue:
+        x = hue_jitter(kh, x, hue)
     x = add_gaussian_noise(kn, x, noise_mean, noise_std_range)
     x, y = class_wise_masking(km, x, y, masking_p, num_classes_to_keep)
     return normalize(x, mean, std), y
@@ -257,3 +270,220 @@ def seg_eval_preprocess(
     if labels is None:
         return x
     return x, labels[:, y0 : y0 + th, x0 : x0 + tw]
+
+
+# ---------------------------------------------------------------------------
+# Geometric paired transforms with resampling (round-2 additions; parity:
+# ExtRandomScale ext_transforms.py:184-207, ExtRandomRotation :239-310,
+# ExtPad :355-366). TPU adaptation: jit needs static shapes, so "resize to
+# (H*s, W*s)" becomes coordinate-remapped sampling on a fixed canvas; the
+# reference always follows RandomScale with a fixed-size RandomCrop anyway,
+# which `random_scale_crop` fuses exactly.
+# ---------------------------------------------------------------------------
+
+
+def _paired_gather(images, labels, ys, xs, img_fill=0.0, lbl_fill=255):
+    """Sample per-example float source coords (B,H',W'): bilinear for images,
+    nearest for labels, out-of-bounds -> fill. The paired-label contract:
+    identical geometry, never interpolated labels."""
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+
+    def sample_one(img, lbl, y, x):
+        valid = (y >= -0.5) & (y <= h - 0.5) & (x >= -0.5) & (x <= w - 0.5)
+        # clamp-to-edge for the sub-pixel border band (PIL convention) —
+        # without this, coords in (-0.5, 0) blend toward row/col 1
+        y = jnp.clip(y, 0.0, h - 1.0)
+        x = jnp.clip(x, 0.0, w - 1.0)
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        wy = (y - y0)[..., None]
+        wx = (x - x0)[..., None]
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        x1i = jnp.clip(x0i + 1, 0, w - 1)
+        v = (
+            img[y0i, x0i] * (1 - wy) * (1 - wx)
+            + img[y0i, x1i] * (1 - wy) * wx
+            + img[y1i, x0i] * wy * (1 - wx)
+            + img[y1i, x1i] * wy * wx
+        )
+        v = jnp.where(valid[..., None], v, jnp.asarray(img_fill, v.dtype))
+        out_l = None
+        if lbl is not None:
+            yn = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+            xn = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+            out_l = jnp.where(valid, lbl[yn, xn], jnp.asarray(lbl_fill, lbl.dtype))
+        return v, out_l
+
+    if labels is None:
+        out_i, _ = jax.vmap(lambda i, y, x: sample_one(i, None, y, x))(images, ys, xs)
+        return out_i, None
+    return jax.vmap(sample_one)(images, labels, ys, xs)
+
+
+def random_scale_crop(
+    key: jax.Array,
+    images: jax.Array,
+    size: tuple[int, int],
+    labels: Optional[jax.Array] = None,
+    scale_range: tuple[float, float] = (0.5, 2.0),
+    img_fill: float = 0.0,
+    lbl_fill: int = 255,
+):
+    """ExtRandomScale + ExtRandomCrop fused (reference ext_transforms.py:
+    184-207 then 101-160): scale ~ U(scale_range), virtual resize to
+    (H*s, W*s) (bilinear img / nearest lbl — :202), uniform crop of `size`
+    from the scaled plane; regions past the scaled extent (crop bigger than
+    the scaled image) take the fill, matching pad_if_needed."""
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    th, tw = size
+    ks, ky, kx = jax.random.split(key, 3)
+    s = jax.random.uniform(ks, (b,), minval=scale_range[0], maxval=scale_range[1])
+    sh = jnp.floor(h * s)
+    sw = jnp.floor(w * s)
+    u_y = jax.random.uniform(ky, (b,))
+    u_x = jax.random.uniform(kx, (b,))
+    y0 = u_y * jnp.maximum(sh - th, 0.0)
+    x0 = u_x * jnp.maximum(sw - tw, 0.0)
+    ii = jnp.arange(th, dtype=jnp.float32)
+    jj = jnp.arange(tw, dtype=jnp.float32)
+    # half-pixel-center mapping from the virtual (H*s, W*s) plane back to the
+    # source (PIL resize convention)
+    ys = (y0[:, None] + ii[None, :] + 0.5) / s[:, None] - 0.5  # (B, th)
+    xs = (x0[:, None] + jj[None, :] + 0.5) / s[:, None] - 0.5  # (B, tw)
+    # mask crop pixels beyond the scaled extent (only when scaled < target)
+    oob_y = (y0[:, None] + ii[None, :]) >= sh[:, None]
+    oob_x = (x0[:, None] + jj[None, :]) >= sw[:, None]
+    ys = jnp.where(oob_y, -1e6, ys)
+    xs = jnp.where(oob_x, -1e6, xs)
+    ys2 = jnp.broadcast_to(ys[:, :, None], (b, th, tw))
+    xs2 = jnp.broadcast_to(xs[:, None, :], (b, th, tw))
+    return _paired_gather(images, labels, ys2, xs2, img_fill, lbl_fill)
+
+
+def random_rotation(
+    key: jax.Array,
+    images: jax.Array,
+    labels: Optional[jax.Array] = None,
+    degrees: float | tuple[float, float] = 10.0,
+    img_fill: float = 0.0,
+    lbl_fill: int = 0,
+):
+    """ExtRandomRotation (reference ext_transforms.py:239-310): angle ~
+    U(degrees), rotation about the image center on the same canvas
+    (expand=False), bilinear img / nearest lbl, fill 0. NOTE lbl_fill
+    defaults to 0 like PIL's F.rotate in the reference — 0 is a real
+    train-id (road); pass lbl_fill=255 to ignore rotated-in corners."""
+    lo, hi = (-degrees, degrees) if isinstance(degrees, (int, float)) else degrees
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    ang = jax.random.uniform(key, (b,), minval=lo, maxval=hi) * (jnp.pi / 180.0)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ii = jnp.arange(h, dtype=jnp.float32) - cy
+    jj = jnp.arange(w, dtype=jnp.float32) - cx
+    cos = jnp.cos(ang)[:, None, None]
+    sin = jnp.sin(ang)[:, None, None]
+    dy = ii[None, :, None]
+    dx = jj[None, None, :]
+    # inverse rotation (sample where the output pixel came from)
+    ys = cos * dy + sin * dx + cy
+    xs = -sin * dy + cos * dx + cx
+    ys = jnp.broadcast_to(ys, (b, h, w))
+    xs = jnp.broadcast_to(xs, (b, h, w))
+    return _paired_gather(images, labels, ys, xs, img_fill, lbl_fill)
+
+
+def pad_to_multiple(
+    images: jax.Array,
+    labels: Optional[jax.Array] = None,
+    diviser: int = 32,
+    img_fill: float = 0.0,
+    lbl_fill: int = 0,
+):
+    """ExtPad (reference ext_transforms.py:355-366): centered zero-pad of
+    both planes up to the next multiple of `diviser`. (The reference
+    hardcodes 32 in the body regardless of its `diviser` argument; this one
+    honors the argument.)"""
+    h, w = images.shape[1], images.shape[2]
+    ph = 0 if h % diviser == 0 else (h // diviser + 1) * diviser - h
+    pw = 0 if w % diviser == 0 else (w // diviser + 1) * diviser - w
+    pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2))
+    out_i = jnp.pad(images, pads + ((0, 0),), constant_values=img_fill)
+    out_l = None
+    if labels is not None:
+        out_l = jnp.pad(labels, pads, constant_values=lbl_fill)
+    return out_i, out_l
+
+
+def _rgb_to_hsv(x):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn
+    safe = jnp.where(d == 0, 1.0, d)
+    h = jnp.where(
+        mx == r, ((g - b) / safe) % 6.0,
+        jnp.where(mx == g, (b - r) / safe + 2.0, (r - g) / safe + 4.0),
+    )
+    h = jnp.where(d == 0, 0.0, h) / 6.0
+    s = jnp.where(mx == 0, 0.0, d / jnp.where(mx == 0, 1.0, mx))
+    return h, s, mx
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def hue_jitter(key: jax.Array, images: jax.Array, hue: float = 0.1) -> jax.Array:
+    """torchvision adjust_hue with factor ~ U[-hue, hue] per example
+    (the ColorJitter hue leg, reference ext_transforms.py:545-:600): shift
+    the HSV hue channel cyclically, leave s/v untouched."""
+    b = images.shape[0]
+    f = jax.random.uniform(key, (b, 1, 1), minval=-hue, maxval=hue)
+    h, s, v = _rgb_to_hsv(jnp.clip(images, 0.0, 1.0))
+    return _hsv_to_rgb((h + f) % 1.0, s, v)
+
+
+def apply_affine(
+    images: jax.Array,
+    labels: Optional[jax.Array] = None,
+    *,
+    angle: float = 0.0,
+    translate: tuple[float, float] = (0.0, 0.0),
+    scale: float = 1.0,
+    shear: float = 0.0,
+    img_fill: float = 0.0,
+    lbl_fill: int = 255,
+):
+    """Deterministic affine about the image center (rotation degrees,
+    translation as a fraction of H/W, isotropic scale, x-shear degrees) —
+    torchvision RandomAffine's transform family (the reference's geometric
+    augmentation gallery, visualizer.py:177-191). Bilinear images / nearest
+    labels via the shared paired gather."""
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    th = angle * jnp.pi / 180.0
+    sh = shear * jnp.pi / 180.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ty, tx = translate[0] * h, translate[1] * w
+    # forward map: dst = S(scale) @ Shear @ R(theta) @ (src - c) + c + t
+    # => src = R(-theta) @ Shear^{-1} @ (dst - c - t)/scale + c
+    ii = jnp.arange(h, dtype=jnp.float32)[:, None] - cy - ty
+    jj = jnp.arange(w, dtype=jnp.float32)[None, :] - cx - tx
+    dy = jnp.broadcast_to(ii, (h, w)) / scale
+    dx = jnp.broadcast_to(jj, (h, w)) / scale
+    dx = dx - jnp.tan(sh) * dy  # inverse x-shear
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    ys = cos * dy + sin * dx + cy
+    xs = -sin * dy + cos * dx + cx
+    ys = jnp.broadcast_to(ys[None], (b, h, w))
+    xs = jnp.broadcast_to(xs[None], (b, h, w))
+    return _paired_gather(images, labels, ys, xs, img_fill, lbl_fill)

@@ -151,7 +151,7 @@ def make_translate_fn(
     seg_model,
     seg_variables,
     sr_model,
-    sr_params,
+    sr_variables,
     **kwargs,
 ):
     """Bind the three models into a single jitted translate(input, gt, key)
@@ -163,16 +163,22 @@ def make_translate_fn(
     constants, which stalls the TPU compiler for many minutes.
     """
 
+    # Accept either a full variables dict ({'params', 'batch_stats', ...}) or
+    # a bare params tree (wrapped — but note the Generator carries BatchNorm
+    # running stats, so a bare tree only works for BN-free configs).
+    if "params" not in sr_variables:
+        sr_variables = {"params": sr_variables}
+
     @jax.jit
-    def _translate(dp, sv, sp, input_128, gt, key):
+    def _translate(dp, sv, gv, input_128, gt, key):
         diff_fn = lambda x, t: diff_model.apply({"params": dp}, x, t)
         seg_fn = lambda x: seg_model.apply(sv, x)
-        sr_fn = lambda x: sr_model.apply({"params": sp}, x)
+        sr_fn = lambda x: sr_model.apply(gv, x)
         return sample_with_sgg(
             diff_fn, sched, seg_fn, sr_fn, input_128, gt, key, **kwargs
         )
 
     def translate(input_128, gt, key):
-        return _translate(diff_params, seg_variables, sr_params, input_128, gt, key)
+        return _translate(diff_params, seg_variables, sr_variables, input_128, gt, key)
 
     return translate

@@ -142,7 +142,14 @@ class HRNetV2Features(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
-        h = nn.relu(ConvBN(64, 3, 2, train=self.train, dtype=self.dtype, name="stem1")(x))
+        # Reference quirk reproduced: the DeepLab factory wraps HRNet in
+        # IntermediateLayerGetter, which runs NAMED CHILDREN in registration
+        # order — the single shared `relu` module registers once (after bn2),
+        # so the stem it actually executes is conv1->bn1->conv2->bn2->relu
+        # with NO relu between the two convs (reference network/utils.py:73-81
+        # vs hrnetv2.py:259-265, where the standalone classifier net does
+        # apply both relus).
+        h = ConvBN(64, 3, 2, train=self.train, dtype=self.dtype, name="stem1")(x)
         h = nn.relu(ConvBN(64, 3, 2, train=self.train, dtype=self.dtype, name="stem2")(h))
 
         # Stage 1: 4 bottlenecks, 64 -> 256

@@ -3,8 +3,12 @@
 The reference uses `nn.MultiheadAttention` over h*w <= 64*64 = 4096 tokens
 (reference: diffusion_model/models/unet_base.py:114-120,153-161). Here the hot
 path is a Pallas blockwise (flash) attention kernel that never materializes
-the (N, N) score matrix in HBM; a pure-jnp fallback provides the
-reference semantics everywhere else (CPU tests, autodiff backward).
+the (N, N) score matrix in HBM — in EITHER direction: the backward is its own
+Pallas kernel that recomputes score blocks in VMEM and accumulates dK/dV
+across q-blocks on-chip (round-1 fell back to the jnp reference backward,
+which paid a 2 GiB HBM score tensor per layer at N=4096 training). A pure-jnp
+fallback provides the reference semantics everywhere else (CPU tests run both
+kernels in interpret mode).
 
 Layout: (B, H, N, D) with D = channels // num_heads. Non-causal, no mask —
 image self-attention.
@@ -18,6 +22,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# f32 exp is exact-softmax-safe to ~88; the clamp replaces a per-row max pass
+# (see _flash_kernel). Forward and backward must agree on this constant.
+_CLAMP = 60.0
 
 
 def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
@@ -63,7 +71,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     # (identical softmax whenever no element clamps, which is always in
     # practice; the clamp only guards against inf/NaN for pathological
     # weights).
-    p = jnp.exp(jnp.minimum(s, 60.0))
+    p = jnp.exp(jnp.minimum(s, _CLAMP))
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -106,6 +114,92 @@ def _flash_attention_fwd_impl(
     return out.reshape(b, h, n, d)
 
 
+def _flash_bwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, scale: float,
+):
+    """Backward for one (batch*head, q-block) program.
+
+    Recomputes the (block_q, N) score block in VMEM (flash recompute — the
+    scores never existed in HBM), forms the softmax VJP with the row-sum
+    trick D = rowsum(dO * O), and emits dQ for this block while accumulating
+    dK/dV into their output blocks (same block index across the inner grid
+    dimension -> the accumulator stays resident in VMEM and flushes once).
+    """
+    j = pl.program_id(1)
+    nq = pl.num_programs(1)
+    q = q_ref[0]          # (bq, D)
+    k = k_ref[0]          # (N, D)
+    v = v_ref[0]          # (N, D)
+    o = o_ref[0].astype(jnp.float32)   # (bq, D)
+    do = do_ref[0].astype(jnp.float32)  # (bq, D)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, N)
+    p = jnp.exp(jnp.minimum(s, _CLAMP))
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pn = p / l  # softmax probs
+
+    # dpn = dO V^T ; ds = pn * (dpn - rowsum(dO * O)) * scale, with the
+    # exp-clamp gradient mask folded in (zero where s clamped)
+    dpn = jax.lax.dot_general(
+        do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    Dv = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
+    ds = pn * (dpn - Dv)
+    ds = jnp.where(s <= _CLAMP, ds, 0.0) * scale
+    ds_lp = ds.astype(q.dtype)
+
+    dq = jax.lax.dot_general(
+        ds_lp, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jax.lax.dot_general(
+        ds_lp, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(
+        pn.astype(do_ref.dtype), do.astype(do_ref.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_impl(q, k, v, o, do, *, block_q: int, interpret: bool):
+    b, h, n, d = q.shape
+    bh = b * h
+    rs = lambda x: x.reshape(bh, n, d)
+    scale = float(1.0 / (d**0.5))
+    grid = (bh, n // block_q)
+    qspec = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            # dK/dV accumulate across q-blocks in f32 for exactness
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, qspec, qspec],
+        out_specs=(qspec, kspec, kspec),
+        interpret=interpret,
+    )(rs(q), rs(k), rs(v), rs(o), rs(do))
+    un = lambda x: x.reshape(b, h, n, d)
+    return un(dq), un(dk).astype(k.dtype), un(dv).astype(v.dtype)
+
+
 def _pick_blocks(n: int) -> tuple[int, int]:
     """block_q capped at 256: the (block_q, N) f32 score tile must fit VMEM
     alongside full K/V (256 x 4096 x 4 = 4 MiB at the UNet's largest map)."""
@@ -115,6 +209,16 @@ def _pick_blocks(n: int) -> tuple[int, int]:
     return n, n
 
 
+def _pick_bwd_block(n: int) -> int:
+    """The backward holds ~3 (block_q, N) f32 tiles live (scores, dpn, ds):
+    cap block_q at 128 so 3 x 128 x 4096 x 4 = 6 MiB fits VMEM with K/V and
+    the f32 dK/dV accumulators."""
+    for b in (128, 64, 32, 16, 8):
+        if n % b == 0 and b <= n:
+            return b
+    return n
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -122,11 +226,7 @@ def _on_tpu() -> bool:
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Blockwise attention, Pallas on TPU, interpret-mode elsewhere.
-
-    Backward pass recomputes via the jnp reference (flash backward kernels are
-    a later-round optimization); forward is the sampling hot path where the
-    1000-step reverse loop lives (reference: sample_ddpm.py:35-44).
-    """
+    Forward AND backward keep the (N, N) scores on-chip (custom_vjp below)."""
     n = q.shape[2]
     bq, bk = _pick_blocks(n)
     return _flash_attention_fwd_impl(
@@ -135,13 +235,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _fa_fwd(q, k, v):
-    return flash_attention(q, k, v), (q, k, v)
+    o = flash_attention(q, k, v)
+    return o, (q, k, v, o)
 
 
 def _fa_bwd(res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(attention_reference, q, k, v)
-    return vjp(g)
+    q, k, v, o = res
+    return _flash_attention_bwd_impl(
+        q, k, v, o, g.astype(q.dtype),
+        block_q=_pick_bwd_block(q.shape[2]), interpret=not _on_tpu(),
+    )
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
@@ -162,11 +265,9 @@ def multi_head_attention(
     """(B, H, N, D) attention dispatch.
 
     TPU: XLA fused attention for N < FLASH_MIN_SEQ (every resolution of the
-    reference UNet — h*w <= 4096, unet_base.py:153-161); the shipped, tuned
-    Mosaic flash kernel (jax.experimental.pallas.ops.tpu) for longer
-    sequences (512px+ latents in high-res configs). Elsewhere: our blockwise
-    kernel in interpret mode exercises the flash code path in CPU tests.
-    """
+    reference UNet — h*w <= 4096, unet_base.py:153-161); the flash kernel for
+    longer sequences. Elsewhere: the blockwise kernels run in interpret mode
+    so CPU tests exercise the flash code path (forward and backward)."""
     n, d = q.shape[2], q.shape[3]
     if not use_pallas or n % 128 != 0 or n < FLASH_MIN_SEQ:
         return attention_reference(q, k, v)

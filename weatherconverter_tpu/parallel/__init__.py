@@ -1,5 +1,11 @@
-"""Device mesh + sharding (DP-first; XLA collectives over ICI)."""
+"""Device mesh + sharding (DP-first; XLA collectives over ICI) and
+multi-host initialization."""
 
+from weatherconverter_tpu.parallel.distributed import (
+    is_primary,
+    maybe_initialize_distributed,
+    process_count,
+)
 from weatherconverter_tpu.parallel.sharding import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -7,6 +13,7 @@ from weatherconverter_tpu.parallel.sharding import (
     local_batch_slice,
     make_mesh,
     pad_to_multiple,
+    plan_data_parallel,
     replicate,
     replicated,
     shard_batch,
@@ -15,4 +22,6 @@ from weatherconverter_tpu.parallel.sharding import (
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
     "shard_batch", "replicate", "pad_to_multiple", "local_batch_slice",
+    "plan_data_parallel", "maybe_initialize_distributed", "process_count",
+    "is_primary",
 ]

@@ -94,6 +94,27 @@ def maybe_mesh(mesh: Optional[Mesh]):
             yield
 
 
+def plan_data_parallel(
+    per_device_batch: int,
+    scale_to_mesh: bool = True,
+    n_devices: Optional[int] = None,
+) -> tuple[int, int]:
+    """TPU-native DP planning: (dp_width, global_batch).
+
+    With `scale_to_mesh` (the default) the GLOBAL batch scales to the
+    hardware — dp = all devices, global = per_device_batch * dp — instead of
+    shrinking the mesh to a host-configured batch (a reference-style batch=4
+    would otherwise idle 4 of 8 chips). Callers that scale the batch should
+    consider linear LR scaling (Goyal et al. 2017); the training loops expose
+    `scale_lr_with_batch` for that. With scale_to_mesh=False the batch is
+    treated as global and dp falls back to its largest divisor <= devices.
+    """
+    n = n_devices if n_devices is not None else jax.device_count()
+    if scale_to_mesh and n > 1:
+        return n, per_device_batch * n
+    return choose_dp_width(per_device_batch, n), per_device_batch
+
+
 def choose_dp_width(batch_size: int, n_devices: Optional[int] = None) -> int:
     """Largest divisor of `batch_size` that is <= the device count — the DP
     width a training loop can use without padding (XLA requires the sharded

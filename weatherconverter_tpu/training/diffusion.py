@@ -35,9 +35,11 @@ from weatherconverter_tpu.training import optim as optim_lib
 class DDPMTrainState(train_state.TrainState):
     """params + Adam state + step counter — the functional analog of the
     reference's {model_state_dict, optimizer_state_dict, epoch} checkpoint
-    dict (reference: train_ddpm.py:56-60)."""
+    dict (reference: train_ddpm.py:56-60) — plus an optional EMA shadow of
+    the params, updated inside the jitted step and consumed by samplers."""
 
     epoch: int = 0
+    ema: Optional["EMA"] = None
 
 
 def create_ddpm_state(
@@ -47,15 +49,19 @@ def create_ddpm_state(
     im_channels: int = 3,
     lr: float = 1e-4,
     tx: Optional[optax.GradientTransformation] = None,
+    ema_decay: float = 0.0,
 ) -> DDPMTrainState:
     """Initialize UNet params (NHWC dummy batch) and Adam(lr) as in the
-    reference (train_ddpm.py:187-190)."""
+    reference (train_ddpm.py:187-190). `ema_decay > 0` attaches an EMA
+    shadow (framework extension — standard DDPM practice the reference
+    lacks)."""
     dummy_x = jnp.zeros((1, im_size, im_size, im_channels), dtype=jnp.float32)
     dummy_t = jnp.zeros((1,), dtype=jnp.int32)
     variables = model.init(key, dummy_x, dummy_t)
     tx = tx if tx is not None else optim_lib.adam(lr)
+    ema = EMA.create(variables["params"], decay=ema_decay) if ema_decay > 0 else None
     return DDPMTrainState.create(
-        apply_fn=model.apply, params=variables["params"], tx=tx
+        apply_fn=model.apply, params=variables["params"], tx=tx, ema=ema
     )
 
 
@@ -80,7 +86,10 @@ def train_step(
     loss, grads = jax.value_and_grad(ddpm_loss_fn)(
         state.params, state.apply_fn, sched, images, key
     )
-    return state.apply_gradients(grads=grads), loss
+    state = state.apply_gradients(grads=grads)
+    if state.ema is not None:
+        state = state.replace(ema=state.ema.update(state.params))
+    return state, loss
 
 
 def make_train_step(sched: NoiseSchedule, mesh: Optional[Mesh] = None, donate: bool = True):
@@ -102,14 +111,22 @@ def make_train_step(sched: NoiseSchedule, mesh: Optional[Mesh] = None, donate: b
     return jax.jit(step, **kwargs)
 
 
-def make_eval_loss(sched: NoiseSchedule, mesh: Optional[Mesh] = None):
-    """Jitted eval-only eps-MSE at fixed key (deterministic val loss; the
-    reference has no diffusion val loop — framework extension)."""
+def make_eval_loss(sched: NoiseSchedule, apply_fn, mesh: Optional[Mesh] = None):
+    """Jitted eval-only eps-MSE (deterministic val loss at a caller-fixed
+    key; the reference has no diffusion val loop — framework extension).
+    With a mesh, images arrive sharded over ('data',) and the scalar loss is
+    replicated (mean reduces over the batch via XLA's ICI all-reduce)."""
 
-    def eval_loss(params, apply_fn_static, images, key):
-        return ddpm_loss_fn(params, apply_fn_static, sched, images, key)
+    def eval_loss(params, images, key):
+        return ddpm_loss_fn(params, apply_fn, sched, images, key)
 
-    return eval_loss
+    kwargs: dict[str, Any] = {}
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (rep, data, rep)
+        kwargs["out_shardings"] = rep
+    return jax.jit(eval_loss, **kwargs)
 
 
 @struct.dataclass
@@ -123,7 +140,12 @@ class EMA:
 
     @classmethod
     def create(cls, params, decay: float = 0.999) -> "EMA":
-        return cls(decay=decay, params=jax.tree_util.tree_map(jnp.asarray, params))
+        # real copies, NOT jnp.asarray: the shadow must not alias the live
+        # param buffers or donated train steps would donate them twice
+        return cls(
+            decay=decay,
+            params=jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params),
+        )
 
     def update(self, new_params) -> "EMA":
         d = self.decay

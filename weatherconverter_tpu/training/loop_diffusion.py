@@ -94,10 +94,17 @@ def train(
     key = run_key(tr.random_seed)
     keys = split_named(key, "init", "train")
 
-    from weatherconverter_tpu.parallel.sharding import choose_dp_width
+    from weatherconverter_tpu.parallel.sharding import plan_data_parallel
 
-    dp = choose_dp_width(tr.batch_size)
+    ds = dataset if dataset is not None else build_dataset(cfg)
+    dp, global_batch = plan_data_parallel(
+        tr.batch_size, scale_to_mesh=getattr(tr, "scale_batch_to_mesh", True)
+    )
+    if global_batch > len(ds):
+        # tiny dataset (smoke runs): fall back to batch-as-global
+        dp, global_batch = plan_data_parallel(tr.batch_size, scale_to_mesh=False)
     mesh = make_mesh(data=dp, devices=jax.devices()[:dp]) if dp > 1 else None
+    lr = tr.lr * (global_batch / tr.batch_size) if getattr(tr, "scale_lr_with_batch", False) else tr.lr
     sched = make_schedule(
         cfg.diffusion.schedule,
         cfg.diffusion.num_timesteps,
@@ -110,7 +117,10 @@ def train(
         fused=on_tpu,
         dtype=jnp.bfloat16 if tr.dtype == "bfloat16" and on_tpu else jnp.float32,
     )
-    state = create_ddpm_state(model, keys["init"], im_size=cfg.model.im_size, lr=tr.lr)
+    state = create_ddpm_state(
+        model, keys["init"], im_size=cfg.model.im_size, lr=lr,
+        ema_decay=getattr(tr, "ema_decay", 0.0),
+    )
 
     run_dir = create_run(cfg.folders.output)
     logger = MetricsLogger(run_dir, project="weather-converter-diffusion", config=cfg.model_dump())
@@ -120,11 +130,14 @@ def train(
         state = ckpt_restore_into(tr.resume_checkpoint, state)
         logger.print(f"resumed from {tr.resume_checkpoint} at epoch {int(state.epoch)}")
 
-    ds = dataset if dataset is not None else build_dataset(cfg)
     loader = DataLoader(
-        ds, tr.batch_size, shuffle=True, seed=tr.random_seed,
+        ds, global_batch, shuffle=True, seed=tr.random_seed,
         num_workers=max(1, tr.num_workers) if tr.num_workers else 8,
     )
+    if global_batch != tr.batch_size:
+        logger.print(
+            f"DP x{dp}: global batch {global_batch} ({tr.batch_size}/device), lr={lr}"
+        )
     step_fn = make_augmented_train_step(sched, cfg.model.im_size, mesh=mesh, donate=tr.donate_state)
 
     if mesh is not None:
@@ -167,12 +180,8 @@ def train(
 
 
 def ckpt_restore_into(path: str, state):
-    """Restore an Orbax checkpoint dir (or .npz fallback) into `state`."""
-    if path.endswith(".npz"):
-        from weatherconverter_tpu.core.checkpoint import load_pytree_npz
+    """Restore any framework checkpoint artifact into `state`: .npz fallback,
+    a CheckpointManager run dir (latest step), or one Orbax step dir."""
+    from weatherconverter_tpu.core.checkpoint import restore_auto
 
-        return load_pytree_npz(path, state)
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, state)
+    return restore_auto(path, state, prefer_best=False)

@@ -77,6 +77,9 @@ def make_augmented_seg_train_step(cfg: SegConfig, loss_fn, mesh=None, input_grad
             num_classes_to_keep=t.class_wise_masking.num_classes_to_keep,
             mean=tuple(t.mean),
             std=tuple(t.std),
+            scale_range=tuple(t.scale_range) if t.scale_range else None,
+            rotation_degrees=t.rotation_degrees,
+            hue=t.hue,
         )
 
         def lf(params, imgs):
@@ -125,9 +128,19 @@ def validate(cfg, model_eval, state, val_loader, mesh=None) -> dict:
     conf = init_confusion(nc)
     if mesh is not None:
         conf = replicate(mesh, conf)
+    dp_width = mesh.shape["data"] if mesh is not None else 1
     for images_u8, labels in val_loader:
         x, y = prep(jnp.asarray(images_u8), jnp.asarray(labels))
         if mesh is not None:
+            rem = (-x.shape[0]) % dp_width
+            if rem:
+                # pad ragged final batches to the mesh width; padded rows
+                # carry ignore_index labels so they add nothing to the
+                # confusion matrix
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], rem, 0)], 0)
+                y = jnp.concatenate(
+                    [y, jnp.full((rem,) + y.shape[1:], 255, y.dtype)], 0
+                )
             x, y = shard_batch(mesh, (x, y))
         conf = eval_step(state.params, state.batch_stats, conf, x, y)
     sm = StreamSegMetrics(nc)
@@ -140,10 +153,23 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
     key = run_key(tr.random_seed)
     keys = split_named(key, "init", "train")
 
-    from weatherconverter_tpu.parallel.sharding import choose_dp_width
+    from weatherconverter_tpu.parallel.sharding import plan_data_parallel
 
-    dp = choose_dp_width(tr.batch_size)
+    train_ds, val_ds = datasets if datasets is not None else build_datasets(cfg)
+    dp, global_batch = plan_data_parallel(
+        tr.batch_size, scale_to_mesh=getattr(tr, "scale_batch_to_mesh", True)
+    )
+    if global_batch > len(train_ds):
+        dp, global_batch = plan_data_parallel(tr.batch_size, scale_to_mesh=False)
     mesh = make_mesh(data=dp, devices=jax.devices()[:dp]) if dp > 1 else None
+    if getattr(tr, "scale_lr_with_batch", False) and global_batch != tr.batch_size:
+        factor = global_batch / tr.batch_size
+        cfg = cfg.model_copy(deep=True)
+        cfg.optimizer.params["lr"] = cfg.optimizer.params.get("lr", 1e-4) * factor
+        cfg.optimizer.layerwise_lr = {
+            k: v * factor for k, v in cfg.optimizer.layerwise_lr.items()
+        }
+        tr = cfg.training
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if tr.dtype == "bfloat16" and on_tpu else jnp.float32
     model_train = make_seg_model(
@@ -155,10 +181,9 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
         train=False, dtype=dtype,
     )
 
-    train_ds, val_ds = datasets if datasets is not None else build_datasets(cfg)
-    loader = DataLoader(train_ds, tr.batch_size, shuffle=True, seed=tr.random_seed)
+    loader = DataLoader(train_ds, global_batch, shuffle=True, seed=tr.random_seed)
     val_loader = DataLoader(
-        val_ds, tr.batch_size, shuffle=False, seed=0, drop_last=False
+        val_ds, global_batch, shuffle=False, seed=0, drop_last=False
     )
     max_iters = max(1, len(loader) * tr.epochs)
 
@@ -166,6 +191,17 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
     variables = jax.jit(model_train.init)(
         keys["init"], jnp.zeros((1, hw[0], hw[1], 3))
     )
+    if cfg.model.pretrained_backbone:
+        from weatherconverter_tpu.compat.torch_import import (
+            load_pretrained_backbone,
+            load_torch_checkpoint,
+        )
+
+        variables = load_pretrained_backbone(
+            variables, load_torch_checkpoint(cfg.model.pretrained_backbone),
+            cfg.model.name,
+        )
+        variables = jax.tree.map(jnp.asarray, variables)
     tx = make_seg_optimizer(
         variables["params"], cfg.optimizer, max_iters,
         sched_type=cfg.training.scheduler.type, sched_params=cfg.training.scheduler.params,
@@ -186,12 +222,26 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
         f"{run_dir}/checkpoints", best_metric_name="Mean IoU", best_mode="max"
     )
 
+    start_epoch = 0
+    if tr.resume_training and tr.resume_checkpoint:
+        # mirror of the diffusion loop's resume (reference seg train.py:361-365
+        # restores model/optimizer/scheduler; here the whole TrainState —
+        # params, batch_stats, opt state, step counter — restores in one shot)
+        from weatherconverter_tpu.training.loop_diffusion import ckpt_restore_into
+
+        state = ckpt_restore_into(tr.resume_checkpoint, state)
+        start_epoch = int(state.step) // max(1, len(loader))
+        logger.print(
+            f"resumed from {tr.resume_checkpoint} at step {int(state.step)}"
+            f" (epoch {start_epoch})"
+        )
+
     if mesh is not None:
         state = replicate(mesh, state)
 
     tkey = keys["train"]
-    global_step = 0
-    for epoch in range(tr.epochs):
+    global_step = int(state.step) if hasattr(state, "step") else 0
+    for epoch in range(start_epoch, tr.epochs):
         t0 = time.time()
         for images_u8, labels in loader:
             tkey, sub = jax.random.split(tkey)

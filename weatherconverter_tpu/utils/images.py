@@ -98,3 +98,41 @@ def save_strip(images: jax.Array, path: str, from_range: str = "pm1") -> str:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     Image.fromarray(row.squeeze()).save(path)
     return path
+
+
+def augmentation_galleries(image: "jax.Array", key: "jax.Array") -> dict:
+    """Photometric + geometric augmentation galleries of one [0,1] HWC image
+    (reference: visualizer.py:160-191 builds the same two panels with
+    torchvision ColorJitter / RandomAffine; here every variant is the
+    on-device transform the training pipelines actually use). Returns
+    {'photometric': (N,H,W,3) strip, 'geometric': (N,H,W,3) strip}, each
+    leading with the original."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherconverter_tpu.data.transforms import (
+        apply_affine,
+        color_jitter,
+        hue_jitter,
+    )
+
+    x = jnp.asarray(image)[None]  # (1, H, W, 3)
+    ks = jax.random.split(key, 4)
+    photo = [
+        x,
+        color_jitter(ks[0], x, brightness=0.5, contrast=0.0, saturation=0.0),
+        color_jitter(ks[1], x, brightness=0.0, contrast=0.5, saturation=0.0),
+        color_jitter(ks[2], x, brightness=0.0, contrast=0.0, saturation=0.5),
+        hue_jitter(ks[3], x, hue=0.3),
+    ]
+    geo = [
+        x,
+        apply_affine(x, angle=30.0)[0],
+        apply_affine(x, translate=(0.2, 0.2))[0],
+        apply_affine(x, scale=1.5)[0],
+        apply_affine(x, shear=50.0)[0],
+    ]
+    return {
+        "photometric": jnp.concatenate(photo, axis=0),
+        "geometric": jnp.concatenate(geo, axis=0),
+    }
