@@ -46,7 +46,7 @@ def parse_args():
     p.add_argument(
         "--mode",
         default="translate",
-        choices=["translate", "translate-alternate", "sample", "train"],
+        choices=["translate", "translate-alternate", "sample", "train", "seg-infer"],
     )
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument(
@@ -129,6 +129,41 @@ def main():
         print(json.dumps({
             "metric": f"unconditional_{H}px_{steps}step_samples_per_min_per_chip",
             "value": round(value, 3), "unit": "samples/min/chip",
+            "vs_baseline": round(value / 20.0, 3),
+        }))
+        return
+
+    if args.mode == "seg-infer":
+        # BASELINE.json config 3: DeepLabV3+ 19-class inference (the
+        # reference runs 512px; the bench uses the 512px plane too)
+        from weatherconverter_tpu.models.factory import make_seg_model
+
+        hw = 64 if args.tiny else 512
+        name = "deeplabv3plus_resnet18" if args.tiny else "deeplabv3plus_resnet101"
+        seg = make_seg_model(name, num_classes=19, train=False, dtype=dtype)
+        sv = jax.jit(seg.init)(jax.random.PRNGKey(3), jnp.zeros((1, hw, hw, 3)))
+
+        def run(v, key):
+            imgs = jax.random.normal(key, (B, hw, hw, 3))
+            def body(c, i):
+                logits = seg.apply(v, c)
+                return c * 0.999 + 0.001 * logits[..., :3], None
+            return jax.lax.scan(body, imgs, jnp.arange(20))[0]
+
+        f = jax.jit(run)
+        force(f(sv, jax.random.PRNGKey(1)))
+        times = []
+        for i in range(args.repeats):
+            key = jax.random.PRNGKey(2 + i)
+            force(key)
+            t0 = time.perf_counter()
+            force(f(sv, key))
+            times.append(time.perf_counter() - t0)
+        per_img = min(times) / (20 * B)
+        value = 1.0 / per_img
+        print(json.dumps({
+            "metric": f"seg_infer_{hw}px_images_per_sec_per_chip",
+            "value": round(value, 3), "unit": "img/s/chip",
             "vs_baseline": round(value / 20.0, 3),
         }))
         return

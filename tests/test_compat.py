@@ -411,3 +411,42 @@ def test_pretrained_backbone_init():
     np.testing.assert_allclose(
         np.asarray(got["low_level"]).transpose(0, 3, 1, 2), l1, rtol=1e-3, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("name", [
+    "deeplabv3plus_mobilenet",
+    "deeplabv3plus_xception",
+    "deeplabv3plus_hrnetv2_32",
+])
+def test_deeplab_nonresnet_export_roundtrip(name):
+    """Export symmetry for the non-resnet backbones: convert torch->flax,
+    export flax->torch, and require BIT-identical state dicts (the exporter
+    is the exact inverse of the importer)."""
+    import seg_model.network.modeling as ref_modeling
+
+    from weatherconverter_tpu.compat.torch_export import export_deeplab
+    from weatherconverter_tpu.compat.torch_import import convert_deeplab
+
+    torch.manual_seed(11)
+    kwargs = {} if "hrnet" in name else {"output_stride": 16}
+    tmodel = ref_modeling.__dict__[name](
+        num_classes=6, pretrained_backbone=False, **kwargs
+    )
+    sd = {k: v for k, v in tmodel.state_dict().items()}
+    params, stats = convert_deeplab(sd, name)
+    back = export_deeplab(params, stats, name)
+
+    missing = []
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k not in back:
+            missing.append(k)
+            continue
+        np.testing.assert_array_equal(np.asarray(back[k]), v.numpy(), err_msg=k)
+    # only the reference's dead parameters may be absent (e.g. xception
+    # bn4/fc past the 'out' tap; mobilenet features.18 + classifier)
+    for k in missing:
+        assert any(t in k for t in ("bn4", "fc.", ".18.", "classifier_")), missing
+    extra = [k for k in back if k not in sd]
+    assert not extra, extra

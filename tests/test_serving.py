@@ -1,0 +1,135 @@
+"""Serving layer: micro-batcher semantics and the HTTP server end-to-end on
+tiny models (framework-new capability; SURVEY.md §1 — the reference has no
+serving at all)."""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from weatherconverter_tpu.serving.batcher import MicroBatcher
+
+
+def test_microbatcher_groups_concurrent_requests():
+    calls = []
+
+    def batch_fn(items):
+        calls.append(len(items))
+        return [a * 2 for (a,) in items]
+
+    b = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=100.0)
+    try:
+        results = [None] * 6
+        def worker(i):
+            results[i] = b.submit(i)
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == [i * 2 for i in range(6)]
+        assert sum(calls) == 6
+        assert max(calls) >= 2  # at least one real micro-batch formed
+        assert b.stats["requests"] == 6
+    finally:
+        b.close()
+
+
+def test_microbatcher_propagates_errors():
+    def batch_fn(items):
+        raise ValueError("boom")
+
+    b = MicroBatcher(batch_fn, max_batch=2, max_wait_ms=5.0)
+    try:
+        with pytest.raises(ValueError, match="boom"):
+            b.submit(1)
+    finally:
+        b.close()
+
+
+TINY_YAML = """
+diffusion:
+  model:
+    im_size: 16
+    down_channels: [8, 16, 24]
+    mid_channels: [24, 24, 16]
+    down_sample: [true, false]
+    time_emb_dim: 16
+    num_down_layers: 1
+    num_mid_layers: 1
+    num_up_layers: 1
+    num_heads: 2
+    attn_resolutions: [8]
+  diffusion:
+    num_timesteps: 20
+seg:
+  model: {name: deeplabv3_resnet18, num_classes: 5, output_stride: 16}
+srgan: {in_channels: 3, num_channels: 8, num_blocks: 1, upscale_factor: 2}
+guidance: {lambda: 10.0, num_steps: 3, mode: fixed}
+"""
+
+
+def _b64_png(arr_u8):
+    buf = io.BytesIO()
+    Image.fromarray(arr_u8).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_http_server_end_to_end(tmp_path):
+    from weatherconverter_tpu.core.config import load_translation_config
+    from weatherconverter_tpu.serving.server import TranslationService, serve
+
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(TINY_YAML)
+    cfg = load_translation_config(str(cfg_path))
+    service = TranslationService(cfg, batch=2, steps=3, max_wait_ms=10.0)
+    httpd = serve(service, port=0, block=False)  # port 0 -> ephemeral
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+
+        rng = np.random.RandomState(0)
+        img = _b64_png(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8))
+        lbl = _b64_png(rng.randint(0, 34, (40, 40), dtype=np.uint8))
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.load(r)
+
+        out = post("/v1/translate", {"image": img, "label": lbl, "seed": 1})
+        png = base64.b64decode(out["image"])
+        arr = np.asarray(Image.open(io.BytesIO(png)))
+        assert arr.shape == (32, 32, 3)  # 16px latent x 2 SR
+
+        out = post("/v1/sample", {"steps": 3, "seed": 2})
+        arr = np.asarray(Image.open(io.BytesIO(base64.b64decode(out["image"]))))
+        assert arr.shape == (16, 16, 3)
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["translate"]["requests"] == 1
+        assert stats["sample"]["requests"] == 1
+
+        # a malformed request gets a 400, not a dead server
+        try:
+            post("/v1/translate", {"image": img})
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+    finally:
+        httpd.shutdown()
+        service.close()

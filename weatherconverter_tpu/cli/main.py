@@ -77,6 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--seed", type=int, default=0)
     q.add_argument("--out", default=None, help="write the JSON report here")
 
+    sv = sub.add_parser("serve", help="micro-batched HTTP inference server")
+    sv.add_argument("--config", default=None, help="translation config YAML")
+    sv.add_argument("--port", type=int, default=8700)
+    sv.add_argument("--batch", type=int, default=4, help="compiled serving batch")
+    sv.add_argument("--steps", type=int, default=None)
+    sv.add_argument("--max-wait-ms", type=float, default=25.0)
+    sv.add_argument("--ddpm-checkpoint", default=None)
+    sv.add_argument("--seg-checkpoint", default=None)
+    sv.add_argument("--srgan-checkpoint", default=None)
+
     vz = sub.add_parser("visualize", help="forward/backward process strips")
     vz.add_argument("--config", default=None)
     vz.add_argument("--image", required=True)
@@ -171,6 +181,18 @@ def main(argv=None) -> int:
         from weatherconverter_tpu.cli.commands import run_infer_seg
 
         return run_infer_seg(args)
+    if args.command == "serve":
+        from weatherconverter_tpu.core.config import load_translation_config
+        from weatherconverter_tpu.serving.server import TranslationService, serve
+
+        cfg = load_translation_config(args.config)
+        service = TranslationService(
+            cfg, args.ddpm_checkpoint, args.seg_checkpoint, args.srgan_checkpoint,
+            batch=args.batch, steps=args.steps, max_wait_ms=args.max_wait_ms,
+        )
+        print(f"serving on :{args.port} (batch={args.batch}, steps={service.steps})")
+        serve(service, args.port)
+        return 0
     if args.command == "visualize":
         from weatherconverter_tpu.cli.commands import run_visualize
 

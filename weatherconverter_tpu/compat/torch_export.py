@@ -7,8 +7,9 @@ into the actual torch modules and compare outputs (tests/test_compat.py).
 
 Covered families: the modern DDPM UNet (unet_base.py layout), the legacy
 alpha-plane UNet (old_modules.py layout), the Swift-SRGAN generator
-(srgan_model/models.py), and DeepLabV3(+) with ResNet backbones (the
-checkpointed production config, seg config.yaml:65). Where torch modules
+(srgan_model/models.py), and DeepLabV3(+) with ALL backbone families
+(resnet18-152, mobilenet, xception, hrnetv2 — `export_deeplab` dispatches
+like the factory). Where torch modules
 carry dead parameters our models never had (the legacy UNet's `res` convs on
 non-residual blocks), the exported dict omits them — load with strict=False;
 the omission set is exactly the reference's unused-parameter set.
@@ -278,3 +279,177 @@ def to_torch_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
     import torch
 
     return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# DeepLab head (shared) + MobileNetV2 / Xception / HRNetV2 backbones
+# (inverses of the torch_import converters; same key anatomy)
+# ---------------------------------------------------------------------------
+
+
+def _export_deeplab_head(sd, hp, hs):
+    def conv_bn(torch_conv, torch_bn, p, s):
+        _put_conv(sd, torch_conv, p["conv"])
+        _put_bn(sd, torch_bn, p["bn"], s["bn"])
+
+    is_plus = "project" in hp
+    aspp_prefix = "classifier.aspp" if is_plus else "classifier.classifier.0"
+    conv_bn(f"{aspp_prefix}.convs.0.0", f"{aspp_prefix}.convs.0.1",
+            hp["aspp"]["conv1x1"], hs["aspp"]["conv1x1"])
+    for j in range(3):
+        conv_bn(f"{aspp_prefix}.convs.{j+1}.0", f"{aspp_prefix}.convs.{j+1}.1",
+                hp["aspp"][f"atrous{j}"], hs["aspp"][f"atrous{j}"])
+    conv_bn(f"{aspp_prefix}.convs.4.1", f"{aspp_prefix}.convs.4.2",
+            hp["aspp"]["pool_conv"], hs["aspp"]["pool_conv"])
+    conv_bn(f"{aspp_prefix}.project.0", f"{aspp_prefix}.project.1",
+            hp["aspp"]["project"], hs["aspp"]["project"])
+    if is_plus:
+        conv_bn("classifier.project.0", "classifier.project.1", hp["project"], hs["project"])
+        conv_bn("classifier.classifier.0", "classifier.classifier.1",
+                hp["classifier0"], hs["classifier0"])
+        _put_conv(sd, "classifier.classifier.3", hp["classifier1"])
+    else:
+        conv_bn("classifier.classifier.1", "classifier.classifier.2",
+                hp["classifier0"], hs["classifier0"])
+        _put_conv(sd, "classifier.classifier.4", hp["classifier1"])
+
+
+def export_deeplab_mobilenet(params, stats) -> dict:
+    """Inverse of torch_import.convert_deeplab_mobilenet."""
+    sd: dict = {}
+    bp, bs = params["backbone"], stats["backbone"]
+
+    def attr_for(idx):
+        return "low_level_features" if idx < 4 else "high_level_features"
+
+    # stem = features.0 (ConvBNReLU: .0 conv, .1 bn)
+    _put_conv(sd, "backbone.low_level_features.0.0", bp["stem"]["conv"])
+    _put_bn(sd, "backbone.low_level_features.0.1", bp["stem"]["bn"], bs["stem"]["bn"])
+    for idx in range(1, 18):
+        name = f"block{idx}"
+        t = f"backbone.{attr_for(idx)}.{idx}"
+        p, s = bp[name], bs[name]
+        base = 0
+        if "expand" in p:
+            _put_conv(sd, f"{t}.conv.0.0", p["expand"]["conv"])
+            _put_bn(sd, f"{t}.conv.0.1", p["expand"]["bn"], s["expand"]["bn"])
+            base = 1
+        _put_conv(sd, f"{t}.conv.{base}.0", p["depthwise"]["conv"], depthwise=True)
+        _put_bn(sd, f"{t}.conv.{base}.1", p["depthwise"]["bn"], s["depthwise"]["bn"])
+        _put_conv(sd, f"{t}.conv.{base+1}", p["project"]["conv"])
+        _put_bn(sd, f"{t}.conv.{base+2}", p["project"]["bn"], s["project"]["bn"])
+    _export_deeplab_head(sd, params["head"], stats["head"])
+    return sd
+
+
+# rep indices of the SeparableConv2d modules inside each xception Block, by
+# construction (xception.py:66-93): no-leading-relu block1 -> (0, 3); other
+# 2-rep blocks -> (1, 4); 3-rep middle blocks -> (1, 4, 7)
+def _xception_sep_positions(n_seps: int, starts_with_relu: bool):
+    first = 0 if not starts_with_relu else 1
+    return [first + 3 * i for i in range(n_seps)]
+
+
+def export_deeplab_xception(params, stats) -> dict:
+    """Inverse of torch_import.convert_deeplab_xception."""
+    sd: dict = {}
+    bp, bs = params["backbone"], stats["backbone"]
+    for name in ("conv1", "conv2"):
+        _put_conv(sd, f"backbone.{name}", bp[name])
+    for name in ("bn1", "bn2", "bn3"):
+        _put_bn(sd, f"backbone.{name}", bp[name], bs[name])
+
+    def sep(torch_name, p):
+        _put_conv(sd, f"{torch_name}.conv1", p["conv1"], depthwise=True)
+        _put_conv(sd, f"{torch_name}.pointwise", p["pointwise"])
+
+    sep("backbone.conv3", bp["conv3"])
+    sep("backbone.conv4", bp["conv4"])
+    for n in range(1, 13):
+        blk_p, blk_s = bp[f"block{n}"], bs[f"block{n}"]
+        n_seps = sum(1 for k in blk_p if k.startswith("sep"))
+        pos = _xception_sep_positions(n_seps, starts_with_relu=(n != 1))
+        for idx in range(n_seps):
+            sep(f"backbone.block{n}.rep.{pos[idx]}", blk_p[f"sep{idx}"])
+            _put_bn(sd, f"backbone.block{n}.rep.{pos[idx] + 1}",
+                    blk_p[f"bn{idx}"], blk_s[f"bn{idx}"])
+        if "skip" in blk_p:
+            _put_conv(sd, f"backbone.block{n}.skip", blk_p["skip"])
+            _put_bn(sd, f"backbone.block{n}.skipbn", blk_p["skipbn"], blk_s["skipbn"])
+    _export_deeplab_head(sd, params["head"], stats["head"])
+    return sd
+
+
+def export_deeplab_hrnet(params, stats, num_blocks=(1, 4, 3)) -> dict:
+    """Inverse of torch_import.convert_deeplab_hrnet."""
+    sd: dict = {}
+    bp, bs = params["backbone"], stats["backbone"]
+
+    def conv_bn(torch_conv, torch_bn, p, s):
+        _put_conv(sd, torch_conv, p["conv"])
+        _put_bn(sd, torch_bn, p["bn"], s["bn"])
+
+    conv_bn("backbone.conv1", "backbone.bn1", bp["stem1"], bs["stem1"])
+    conv_bn("backbone.conv2", "backbone.bn2", bp["stem2"], bs["stem2"])
+    for i in range(4):
+        t = f"backbone.layer1.{i}"
+        for k in (1, 2, 3):
+            conv_bn(f"{t}.conv{k}", f"{t}.bn{k}",
+                    bp[f"layer1_{i}"][f"conv{k}"], bs[f"layer1_{i}"][f"conv{k}"])
+        if "downsample" in bp[f"layer1_{i}"]:
+            conv_bn(f"{t}.downsample.0", f"{t}.downsample.1",
+                    bp[f"layer1_{i}"]["downsample"], bs[f"layer1_{i}"]["downsample"])
+    conv_bn("backbone.transition1.0.0", "backbone.transition1.0.1",
+            bp["transition1_0"], bs["transition1_0"])
+    conv_bn("backbone.transition1.1.0.0", "backbone.transition1.1.0.1",
+            bp["transition1_1"], bs["transition1_1"])
+    conv_bn("backbone.transition2.0", "backbone.transition2.1",
+            bp["transition2"], bs["transition2"])
+    conv_bn("backbone.transition3.0", "backbone.transition3.1",
+            bp["transition3"], bs["transition3"])
+    for stage, n_branches, blocks in (
+        (2, 2, num_blocks[0]), (3, 3, num_blocks[1]), (4, 4, num_blocks[2])
+    ):
+        for b in range(blocks):
+            t = f"backbone.stage{stage}.{b}"
+            mod_p, mod_s = bp[f"stage{stage}_{b}"], bs[f"stage{stage}_{b}"]
+            for i in range(n_branches):
+                for blk in range(4):
+                    bt = f"{t}.branches.{i}.{blk}"
+                    for k in (1, 2):
+                        conv_bn(f"{bt}.conv{k}", f"{bt}.bn{k}",
+                                mod_p[f"branch{i}_block{blk}"][f"conv{k}"],
+                                mod_s[f"branch{i}_block{blk}"][f"conv{k}"])
+            for o in range(n_branches):
+                for i in range(n_branches):
+                    if i == o:
+                        continue
+                    ft = f"{t}.fuse_layers.{o}.{i}"
+                    if i > o:
+                        conv_bn(f"{ft}.0", f"{ft}.1",
+                                mod_p[f"fuse{o}_{i}"], mod_s[f"fuse{o}_{i}"])
+                    else:
+                        n_down = o - i
+                        for sdx in range(n_down - 1):
+                            conv_bn(f"{ft}.{sdx}.0", f"{ft}.{sdx}.1",
+                                    mod_p[f"fuse{o}_{i}_down{sdx}"],
+                                    mod_s[f"fuse{o}_{i}_down{sdx}"])
+                        conv_bn(f"{ft}.{n_down-1}.0", f"{ft}.{n_down-1}.1",
+                                mod_p[f"fuse{o}_{i}_down_last"],
+                                mod_s[f"fuse{o}_{i}_down_last"])
+    _export_deeplab_head(sd, params["head"], stats["head"])
+    return sd
+
+
+def export_deeplab(params, stats, model_name: str) -> dict:
+    """Dispatch on the factory model name — inverse of convert_deeplab."""
+    backbone = model_name.split("_", 1)[1]
+    if backbone.startswith("resnet"):
+        return export_deeplab_resnet(params, stats, backbone)
+    if backbone == "mobilenet":
+        return export_deeplab_mobilenet(params, stats)
+    if backbone == "xception":
+        return export_deeplab_xception(params, stats)
+    if backbone.startswith("hrnetv2"):
+        return export_deeplab_hrnet(params, stats)
+    raise ValueError(f"unknown deeplab backbone in {model_name!r}")

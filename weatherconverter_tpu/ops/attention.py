@@ -73,6 +73,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     # weights).
     p = jnp.exp(jnp.minimum(s, _CLAMP))
     l = jnp.sum(p, axis=-1, keepdims=True)
+    # Normalize AFTER the PV matmul: dividing the (block_q, D) output costs
+    # N/D times less VPU work than dividing the (block_q, N) probs, and the
+    # bf16 cast of p carries the same relative precision either way.
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

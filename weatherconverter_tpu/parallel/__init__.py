@@ -8,7 +8,6 @@ from weatherconverter_tpu.parallel.distributed import (
 )
 from weatherconverter_tpu.parallel.sharding import (
     DATA_AXIS,
-    MODEL_AXIS,
     data_sharding,
     local_batch_slice,
     make_mesh,
@@ -20,7 +19,7 @@ from weatherconverter_tpu.parallel.sharding import (
 )
 
 __all__ = [
-    "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
+    "DATA_AXIS", "make_mesh", "data_sharding", "replicated",
     "shard_batch", "replicate", "pad_to_multiple", "local_batch_slice",
     "plan_data_parallel", "maybe_initialize_distributed", "process_count",
     "is_primary",

@@ -9,8 +9,16 @@ with sharded inputs + replicated params compiles to per-device compute with a
 `psum` for the grads.
 
 Axis convention:
-  - "data"  : batch sharding (DP). Gradient allreduce rides ICI.
-  - "model" : optional tensor parallelism for wide conv channels / attn heads.
+  - "data" : batch sharding (DP). Gradient allreduce rides ICI.
+
+Tensor parallelism is an explicit NON-goal (round-2 decision): the widest
+layer in any model here is the UNet's 768-channel ladder at 16px — a few MB
+of params and activations per chip — so a single v5e chip holds every model
+with large headroom, and TP would spend ICI bandwidth to split work that
+doesn't need splitting. DP (this module) plus multi-host DP
+(parallel/distributed.py) are the scaling axes. Round 1 declared a 'model'
+mesh axis no code ever sharded over; per review it is REMOVED rather than
+carried as a name without a user.
 """
 
 from __future__ import annotations
@@ -23,28 +31,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
-MODEL_AXIS = "model"
 
 
 def make_mesh(
     data: Optional[int] = None,
-    model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh over the local devices.
-
-    With the default `model=1` this is a pure DP mesh, the layout the
-    BASELINE.json north-star specifies ("shards over a v5e mesh with gradient
-    allreduce over ICI").
-    """
+    """Build a ('data',) DP mesh over the (local or global) devices — the
+    layout the BASELINE.json north-star specifies ("shards over a v5e mesh
+    with gradient allreduce over ICI")."""
     devs = list(devices) if devices is not None else jax.devices()
     n = len(devs)
     if data is None:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.array(devs).reshape(data, model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        data = n
+    assert data == n, f"mesh width {data} != {n} devices"
+    return Mesh(np.array(devs), (DATA_AXIS,))
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

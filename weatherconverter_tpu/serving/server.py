@@ -1,0 +1,243 @@
+"""HTTP inference server for the translation pipeline.
+
+A production-shaped serving layer the reference never had (its "serving" is
+`python translation.py` with hardcoded paths, SURVEY.md §1): models load
+once, every endpoint runs pre-compiled jitted programs, and concurrent
+requests are micro-batched onto the chip (serving/batcher.py) so singleton
+requests never waste a full static-shape program.
+
+Endpoints (JSON over stdlib http.server — zero new dependencies):
+  GET  /healthz            -> {"status": "ok"}
+  GET  /stats              -> request/batch counters, mean occupancy
+  POST /v1/sample          {"steps": int?, "seed": int?} -> {"image": b64 PNG}
+  POST /v1/translate       {"image": b64 PNG (any size), "label": b64 PNG
+                            (labelIds), "seed": int?} -> {"image": b64 PNG}
+
+Start via the CLI: `python -m weatherconverter_tpu.cli.main serve
+--config configs/translation.yaml --port 8700 [checkpoint flags]`.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from weatherconverter_tpu.serving.batcher import MicroBatcher
+
+
+def _png_bytes(arr01: np.ndarray) -> bytes:
+    from PIL import Image
+
+    img = Image.fromarray((np.clip(arr01, 0.0, 1.0) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _decode_png(b64: str, size: int, nearest: bool = False) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    img = img.resize((size, size), Image.NEAREST if nearest else Image.BILINEAR)
+    return np.asarray(img)
+
+
+class TranslationService:
+    """Owns the models and the compiled programs; thread-safe via batchers."""
+
+    def __init__(
+        self,
+        cfg,
+        ddpm_checkpoint: Optional[str] = None,
+        seg_checkpoint: Optional[str] = None,
+        srgan_checkpoint: Optional[str] = None,
+        batch: int = 4,
+        steps: Optional[int] = None,
+        max_wait_ms: float = 25.0,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from weatherconverter_tpu.cli.commands import _load_unet_params, load_seg_variables
+        from weatherconverter_tpu.data.labels import encode_target
+        from weatherconverter_tpu.diffusion.sampling import ddpm_sample
+        from weatherconverter_tpu.diffusion.schedule import make_schedule
+        from weatherconverter_tpu.guidance.translate import make_translate_fn
+        from weatherconverter_tpu.models.factory import make_seg_model
+        from weatherconverter_tpu.models.srgan import Generator
+        from weatherconverter_tpu.models.unet import Unet
+
+        self._encode_target = encode_target
+        self.cfg = cfg
+        dcfg = cfg.diffusion
+        self.size = dcfg.model.im_size
+        self.hr = self.size * cfg.srgan.upscale_factor
+        self.batch = batch
+        self.steps = steps or cfg.guidance.num_steps
+        on_tpu = jax.devices()[0].platform == "tpu"
+        key = jax.random.PRNGKey(0)
+
+        unet = Unet(config=dcfg.model, fused=on_tpu)
+        uparams = _load_unet_params(unet, ddpm_checkpoint, dcfg, key)
+        seg = make_seg_model(
+            cfg.seg.model.name, cfg.seg.model.num_classes,
+            cfg.seg.model.output_stride, train=False,
+        )
+        seg_vars = load_seg_variables(
+            seg, seg_checkpoint, cfg.seg.model.name, (self.hr, self.hr), key
+        )
+        gen = Generator(
+            in_channels=cfg.srgan.in_channels, num_channels=cfg.srgan.num_channels,
+            num_blocks=cfg.srgan.num_blocks, upscale_factor=cfg.srgan.upscale_factor,
+        )
+        if srgan_checkpoint:
+            from weatherconverter_tpu.compat.torch_import import (
+                convert_srgan_generator,
+                load_torch_checkpoint,
+            )
+
+            gp, gs = convert_srgan_generator(
+                load_torch_checkpoint(srgan_checkpoint), cfg.srgan.num_blocks
+            )
+            gvars = {"params": gp, "batch_stats": gs}
+        else:
+            gvars = jax.jit(gen.init)(key, jnp.zeros((1, self.size, self.size, 3)))
+        sched = make_schedule(
+            dcfg.diffusion.schedule, dcfg.diffusion.num_timesteps,
+            dcfg.diffusion.beta_start, dcfg.diffusion.beta_end,
+        )
+
+        translate = make_translate_fn(
+            unet, uparams, sched, seg, seg_vars, gen, gvars,
+            lam=cfg.guidance.lambda_, num_steps=self.steps,
+            num_classes=cfg.seg.model.num_classes, mode=cfg.guidance.mode,
+        )
+
+        def translate_batch(items):
+            # items: list of (image01 (H,W,3) np, labelids (HR,HR) np, seed)
+            jax_ = jax
+            n = len(items)
+            imgs = np.zeros((self.batch, self.size, self.size, 3), np.float32)
+            gts = np.zeros((self.batch, self.hr, self.hr), np.int32)
+            for i, (im, lb, _seed) in enumerate(items):
+                imgs[i] = im * 2.0 - 1.0
+                gts[i] = lb
+            out = np.asarray(
+                translate(jnp.asarray(imgs), jnp.asarray(gts),
+                          jax_.random.PRNGKey(items[0][2]))
+            )
+            return [out[i] for i in range(n)]
+
+        self._translate_batcher = MicroBatcher(
+            translate_batch, max_batch=batch, max_wait_ms=max_wait_ms
+        )
+
+        def sample_batch(items):
+            # items: list of (steps, seed)
+            n = len(items)
+            sample_steps = items[0][0]
+
+            def run(p, k):
+                fn = lambda x, t: unet.apply({"params": p}, x, t)
+                return ddpm_sample(
+                    fn, sched, k, (self.batch, self.size, self.size, 3),
+                    num_steps=sample_steps,
+                )
+
+            out = np.asarray(jax.jit(run)(uparams, jax.random.PRNGKey(items[0][1])))
+            out = (out + 1.0) / 2.0
+            return [out[i] for i in range(n)]
+
+        self._sample_batcher = MicroBatcher(
+            sample_batch, max_batch=batch, max_wait_ms=max_wait_ms
+        )
+
+    # ---- public request-thread API ----
+
+    def translate(self, image_b64: str, label_b64: str, seed: int = 0) -> bytes:
+        img = _decode_png(image_b64, self.size).astype(np.float32)[..., :3] / 255.0
+        lbl_ids = _decode_png(label_b64, self.hr, nearest=True)
+        if lbl_ids.ndim == 3:
+            lbl_ids = lbl_ids[..., 0]
+        gt = np.asarray(self._encode_target(lbl_ids.astype(np.uint8)))
+        out = self._translate_batcher.submit(img, gt, seed)
+        return _png_bytes(out)
+
+    def sample(self, steps: Optional[int] = None, seed: int = 0) -> bytes:
+        out = self._sample_batcher.submit(steps or self.steps, seed)
+        return _png_bytes(out)
+
+    def stats(self) -> dict:
+        def fmt(b: MicroBatcher):
+            n = max(b.stats["batches"], 1)
+            return {
+                "requests": b.stats["requests"],
+                "batches": b.stats["batches"],
+                "mean_occupancy": b.stats["batch_occupancy_sum"] / n,
+            }
+
+        return {"translate": fmt(self._translate_batcher),
+                "sample": fmt(self._sample_batcher)}
+
+    def close(self) -> None:
+        self._translate_batcher.close()
+        self._sample_batcher.close()
+
+
+def make_handler(service: TranslationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/stats":
+                return self._reply(200, service.stats())
+            return self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/v1/sample":
+                    png = service.sample(req.get("steps"), req.get("seed", 0))
+                elif self.path == "/v1/translate":
+                    png = service.translate(
+                        req["image"], req["label"], req.get("seed", 0)
+                    )
+                else:
+                    return self._reply(404, {"error": "not found"})
+                return self._reply(
+                    200, {"image": base64.b64encode(png).decode()}
+                )
+            except KeyError as e:
+                return self._reply(400, {"error": f"missing field {e}"})
+            except Exception as e:  # surface, don't crash the server
+                return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(service: TranslationService, port: int = 8700, block: bool = True):
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    if block:
+        httpd.serve_forever()
+        return httpd
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd
