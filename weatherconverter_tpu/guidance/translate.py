@@ -130,6 +130,13 @@ def sample_with_sgg(
 
         if guidance_style == "none":
             xt_guided = unguided(None)
+        elif guidance_style in ("gsg", "lcg") and guidance_every == 1:
+            # Guidance fires on every step except i == 0 (999/1000 of the
+            # scan): computing the cheap unguided update unconditionally and
+            # selecting costs one elementwise where at latent resolution,
+            # while dropping the lax.cond lets XLA fuse/schedule the scan
+            # body as one straight-line program.
+            xt_guided = jnp.where(do_guide, guided(None), unguided(None))
         else:
             xt_guided = jax.lax.cond(do_guide, guided, unguided, operand=None)
 
