@@ -75,3 +75,33 @@ def test_separable_conv_matches_torch():
     tx = torch.from_numpy(np.asarray(x.transpose(0, 3, 1, 2)))
     ref = tpw(tdw(tx)).detach().numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_separable_conv_shift_packed_matches_factorized():
+    """The shift-packed dense tail (wide-in/narrow-out big-kernel path,
+    srgan.py SeparableConv._shift_packed) == factorized depthwise+pointwise
+    from the SAME params; and non-divisible shapes fall back cleanly."""
+    from weatherconverter_tpu.models.srgan import SeparableConv, _TAIL_PACK
+
+    cin, cout, k = 64, 3, 9
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 24, cin))
+    assert x.shape[1] % _TAIL_PACK[0] == 0 and x.shape[2] % _TAIL_PACK[1] == 0
+    mod = SeparableConv(cout, k, 1, k // 2)
+    variables = mod.init(jax.random.PRNGKey(1), x)
+    out = mod.apply(variables, x)  # shift-packed branch (cin>=32, cout<=8)
+
+    p = variables["params"]
+    h = jax.lax.conv_general_dilated(
+        x, p["depthwise"]["kernel"], (1, 1), ((4, 4), (4, 4)),
+        feature_group_count=cin, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["depthwise"]["bias"]
+    ref = jax.lax.conv_general_dilated(
+        h, p["pointwise"]["kernel"], (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["pointwise"]["bias"]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    # ragged spatial shape -> factorized fallback, same answer path
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (1, 15, 17, cin))
+    v2 = mod.init(jax.random.PRNGKey(1), x2)
+    assert mod.apply(v2, x2).shape == (1, 15, 17, cout)

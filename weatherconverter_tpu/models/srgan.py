@@ -66,9 +66,22 @@ class SeparableConv(nn.Module):
         # Compose only where dense wins on the MXU: a tiny input-channel count
         # (the 3-channel stem, where grouped-conv lowering is pathological)
         # feeding a wide output. Wide-in/narrow-out (e.g. the final 64->3
-        # 9x9) stays factorized: dense would pad C_out=3 to 128 lanes and pay
-        # ~8x the FLOPs for nothing (measured slower on v5e).
+        # 9x9) gets the shift-packed dense form below when shapes allow:
+        # plain dense would pad C_out=3 to 128 lanes and pay ~8x the FLOPs
+        # for nothing (measured slower on v5e).
         compose = cin < 16 and self.features >= 32
+        pack = (
+            _TAIL_PACK[0] > 0
+            and cin >= 32
+            and self.features <= 8
+            and self.kernel_size >= 5
+            and self.stride == 1
+            and self.padding == self.kernel_size // 2
+            and x.shape[1] % _TAIL_PACK[0] == 0
+            and x.shape[2] % _TAIL_PACK[1] == 0
+        )
+        if pack:
+            return self._shift_packed(x, cin, *_TAIL_PACK)
         if not compose:
             h = nn.Conv(
                 cin,
@@ -106,6 +119,73 @@ class SeparableConv(nn.Module):
             bias = pw_bias + dw_bias @ pw_kernel[0, 0]
             out = out + bias.astype(out.dtype)
         return out
+
+    def _shift_packed(self, x: jax.Array, cin: int, sh: int, sw: int) -> jax.Array:
+        """Wide-in/narrow-out big-kernel separable conv (the Swift-SRGAN 9x9
+        64->3 tail, reference srgan_model/models.py:90) as ONE dense strided
+        conv whose output channels carry an (sh, sw) grid of shifted output
+        pixels: C_out' = sh*sw*features fills the MXU's 128 output lanes that
+        C_out=3 would waste (the padding tax that makes plain dense ~8x the
+        useful FLOPs).
+
+        Algebra: with h = sh*hb + a, w = sw*wb + b,
+            out[hb*sh+a, wb*sw+b, o]
+              = sum_{dh,dw,i} xp[sh*hb + (a+dh), sw*wb + (b+dw), i] K[dh,dw,i,o]
+        i.e. a VALID conv over the padded input with kernel
+        (k+sh-1, k+sw-1), strides (sh, sw), and packed kernel
+            K'[a+dh, b+dw, i, (a,b,o)] = dw[dh,dw,i] * pw[i,o]
+        followed by a reshape/transpose unpack. Identical math to
+        depthwise+pointwise up to fp reassociation. The packed kernel is
+        parameter-only, so XLA hoists its construction out of sampling scans.
+        """
+        k = self.kernel_size
+        p = self.padding
+        dw_mod = _ConvParams((k, k, 1, cin), cin if self.use_bias else 0, name="depthwise")
+        pw_mod = _ConvParams((1, 1, cin, self.features), self.features if self.use_bias else 0, name="pointwise")
+        dw_kernel, dw_bias = dw_mod()
+        pw_kernel, pw_bias = pw_mod()
+        dense = dw_kernel[:, :, 0, :, None] * pw_kernel[0, 0][None, None]  # (k,k,cin,cout)
+        # packed kernel: (sh, sw, k+sh-1, k+sw-1, cin, cout) -> merge shifts
+        # into the output-channel dim ordered (a, b, o)
+        shifted = jnp.stack(
+            [
+                jnp.stack(
+                    [jnp.pad(dense, ((a, sh - 1 - a), (b, sw - 1 - b), (0, 0), (0, 0)))
+                     for b in range(sw)],
+                    axis=0,
+                )
+                for a in range(sh)
+            ],
+            axis=0,
+        )
+        kp = shifted.transpose(2, 3, 4, 0, 1, 5).reshape(
+            k + sh - 1, k + sw - 1, cin, sh * sw * self.features
+        )
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype),
+            kp.astype(self.dtype),
+            window_strides=(sh, sw),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H/sh, W/sw, sh*sw*cout)
+        b_, hb, wb, _ = y.shape
+        y = y.reshape(b_, hb, wb, sh, sw, self.features)
+        out = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b_, hb * sh, wb * sw, self.features
+        )
+        if self.use_bias:
+            bias = pw_bias + dw_bias @ pw_kernel[0, 0]
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+# Shift-pack grid (sh, sw) for the narrow-output tail: 4x8 x 3ch = 96 of 128
+# MXU lanes used vs 3 of 128 for plain dense. Chosen by in-situ A/B on v5e
+# (scripts/ab_translate.py). "0x0" disables (factorized fallback).
+import os as _os
+
+_TAIL_PACK = tuple(int(v) for v in _os.environ.get("WCTPU_TAIL_PACK", "4x8").split("x"))
 
 
 class _ConvParams(nn.Module):
