@@ -250,3 +250,62 @@ def test_flash_attention_backward_bf16_path():
             np.asarray(got, dtype=np.float32), np.asarray(want, dtype=np.float32),
             atol=0.15, rtol=0.1, err_msg=f"d{name} mismatch",
         )
+
+
+def test_stem_conv_packed_backward_matches_autodiff():
+    """ops/packed_conv.stem_conv: forward identical to the plain XLA conv;
+    custom parity-decomposed + shift-packed data-grad and the filter-grad
+    both match XLA autodiff (the op sits inside jax.grad on the SGG guidance
+    hot path, reference sgg.py:16 + seg stem resnet.py:121-130)."""
+    from weatherconverter_tpu.ops.packed_conv import stem_conv
+
+    def plain(x, w, s, p):
+        return jax.lax.conv_general_dilated(
+            x, w, (s, s), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    cases = [
+        (7, 2, 3, 32, 3, 64),  # the ResNet RGB stem shape family
+        (7, 2, 3, 30, 3, 64),  # odd output parity
+        (3, 2, 1, 16, 3, 32),  # MobileNet-style stem
+        (3, 2, 1, 17, 3, 32),  # ragged spatial size
+        (7, 2, 3, 33, 4, 8),   # non-3 narrow cin, narrow cout
+    ]
+    for k, s, p, hw, ci, co in cases:
+        kx, kw_, kg = jax.random.split(jax.random.PRNGKey(k * 100 + hw), 3)
+        x = jax.random.normal(kx, (2, hw, hw, ci))
+        w = jax.random.normal(kw_, (k, k, ci, co)) * 0.1
+        np.testing.assert_allclose(
+            stem_conv(x, w, s, p), plain(x, w, s, p), atol=1e-5, rtol=1e-5
+        )
+        ct = jax.random.normal(kg, plain(x, w, s, p).shape)
+        gx_new = jax.grad(lambda xx: jnp.sum(stem_conv(xx, w, s, p) * ct))(x)
+        gx_ref = jax.grad(lambda xx: jnp.sum(plain(xx, w, s, p) * ct))(x)
+        np.testing.assert_allclose(gx_new, gx_ref, atol=2e-5, rtol=1e-4)
+        gw_new = jax.grad(lambda ww: jnp.sum(stem_conv(x, ww, s, p) * ct))(w)
+        gw_ref = jax.grad(lambda ww: jnp.sum(plain(x, ww, s, p) * ct))(w)
+        np.testing.assert_allclose(gw_new, gw_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_resnet_stem_grad_unchanged_by_packed_path():
+    """The ResNet-backed DeepLab seg input-gradient (the GSG operator's
+    core) is numerically unchanged by the packed stem backward."""
+    from weatherconverter_tpu.guidance.sgg import seg_input_gradients
+    from weatherconverter_tpu.models.factory import make_seg_model
+    from weatherconverter_tpu.models.backbones import resnet as rn
+
+    seg = make_seg_model("deeplabv3_resnet18", num_classes=7, train=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    v = seg.init(jax.random.PRNGKey(1), x)
+    gt = jax.random.randint(jax.random.PRNGKey(2), (1, 32, 32), 0, 7)
+    g_packed = seg_input_gradients(lambda im: seg.apply(v, im), x, gt)
+
+    rn._PACKED_STEM_BWD = False
+    try:
+        g_plain = seg_input_gradients(lambda im: seg.apply(v, im), x, gt)
+    finally:
+        rn._PACKED_STEM_BWD = True
+    np.testing.assert_allclose(
+        np.asarray(g_packed), np.asarray(g_plain), atol=1e-5, rtol=1e-4
+    )

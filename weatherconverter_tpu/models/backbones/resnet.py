@@ -19,8 +19,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from weatherconverter_tpu.models.norm import bn_momentum
+from weatherconverter_tpu.ops.packed_conv import stem_conv
 
 Dtype = Any
+
+# Equivalence toggle (tests flip it to compare against the plain nn.Conv
+# autodiff path); parameter layout is identical either way.
+_PACKED_STEM_BWD = True
+
+
+class _BareConvKernel(nn.Module):
+    """Kernel-only param with nn.Conv's scope layout (name='conv', param
+    'kernel'), so the packed-backward stem path below shares its checkpoint
+    layout with the nn.Conv path."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
 
 
 class ConvBN(nn.Module):
@@ -35,17 +52,39 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pad = self.dilation * (self.kernel - 1) // 2
-        h = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=pad,
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        cin = x.shape[-1]
+        # RGB stem (cin=3, stride 2): its autodiff data-grad — the hot op of
+        # the SGG guidance backward (jax.grad w.r.t. the input image,
+        # reference sgg.py:16 + inference.py:131-143) — is a transposed conv
+        # with C_out=3 that wastes ~97% of the MXU's output lanes AND 3/4 of
+        # its contraction on dilation zeros. stem_conv re-expresses that
+        # backward parity-decomposed + shift-packed (ops/packed_conv.py);
+        # forward math is the identical XLA conv.
+        if (
+            _PACKED_STEM_BWD
+            and cin <= 4
+            and self.stride == 2
+            and self.dilation == 1
+            and self.groups == 1
+        ):
+            kern = _BareConvKernel(
+                (self.kernel, self.kernel, cin, self.features), name="conv"
+            )()
+            h = stem_conv(
+                x.astype(self.dtype), kern.astype(self.dtype), 2, pad
+            )
+        else:
+            h = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=pad,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         return nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn")(h)
 
 
