@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from weatherconverter_tpu.ops.image import adaptive_avg_pool, pixel_shuffle
+from weatherconverter_tpu.ops.packed_conv import narrow_out_conv
 
 Dtype = Any
 
@@ -139,45 +140,15 @@ class SeparableConv(nn.Module):
         parameter-only, so XLA hoists its construction out of sampling scans.
         """
         k = self.kernel_size
-        p = self.padding
         dw_mod = _ConvParams((k, k, 1, cin), cin if self.use_bias else 0, name="depthwise")
         pw_mod = _ConvParams((1, 1, cin, self.features), self.features if self.use_bias else 0, name="pointwise")
         dw_kernel, dw_bias = dw_mod()
         pw_kernel, pw_bias = pw_mod()
         dense = dw_kernel[:, :, 0, :, None] * pw_kernel[0, 0][None, None]  # (k,k,cin,cout)
-        # packed kernel: (sh, sw, k+sh-1, k+sw-1, cin, cout) -> merge shifts
-        # into the output-channel dim ordered (a, b, o)
-        shifted = jnp.stack(
-            [
-                jnp.stack(
-                    [jnp.pad(dense, ((a, sh - 1 - a), (b, sw - 1 - b), (0, 0), (0, 0)))
-                     for b in range(sw)],
-                    axis=0,
-                )
-                for a in range(sh)
-            ],
-            axis=0,
+        bias = pw_bias + dw_bias @ pw_kernel[0, 0] if self.use_bias else None
+        return narrow_out_conv(
+            x.astype(self.dtype), dense.astype(self.dtype), bias, pack=(sh, sw)
         )
-        kp = shifted.transpose(2, 3, 4, 0, 1, 5).reshape(
-            k + sh - 1, k + sw - 1, cin, sh * sw * self.features
-        )
-        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-        y = jax.lax.conv_general_dilated(
-            xp.astype(self.dtype),
-            kp.astype(self.dtype),
-            window_strides=(sh, sw),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # (B, H/sh, W/sw, sh*sw*cout)
-        b_, hb, wb, _ = y.shape
-        y = y.reshape(b_, hb, wb, sh, sw, self.features)
-        out = y.transpose(0, 1, 3, 2, 4, 5).reshape(
-            b_, hb * sh, wb * sw, self.features
-        )
-        if self.use_bias:
-            bias = pw_bias + dw_bias @ pw_kernel[0, 0]
-            out = out + bias.astype(out.dtype)
-        return out
 
 
 # Shift-pack grid (sh, sw) for the narrow-output tail: 4x8 x 3ch = 96 of 128

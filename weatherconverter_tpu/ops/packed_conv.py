@@ -33,6 +33,27 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvParams(nn.Module):
+    """Kernel(+bias) params with nn.Conv's scope layout, so packed conv
+    paths share their checkpoint layout with the nn.Conv they replace."""
+
+    kernel_shape: tuple
+    bias_features: int = 0
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.bias_features,))
+            if self.bias_features
+            else None
+        )
+        return kernel, bias
 
 
 def shift_pack_kernel(kernel: jax.Array, sh: int, sw: int) -> jax.Array:
@@ -162,6 +183,33 @@ def conv_data_grad_packed(
     y = y.reshape(b, hm, wm, s, s, ci)
     dx = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hm * s, wm * s, ci)
     return dx[:, :hx, :wx, :]
+
+
+def narrow_out_conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    pack: tuple[int, int] = (4, 8),
+) -> jax.Array:
+    """Stride-1 SAME conv with a narrow output-channel count (C_out <= 8),
+    computed shift-packed when the spatial dims divide the pack grid (plain
+    XLA conv otherwise). Used for the UNet 3x3 conv_out (reference
+    unet_base.py:447) and as the building block of the SRGAN tail: plain
+    lowering pays the 128-lane C_out padding tax (measured 2.2 -> 1.0 ms for
+    the 128px conv_out at B=8, scripts/micro_seg_parts.py)."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    if x.shape[1] % pack[0] == 0 and x.shape[2] % pack[1] == 0 and kh % 2 and kw % 2:
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        out = shift_packed_conv(xp, kernel, *pack)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1, 1), ((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 # Lane-fill grid for the packed data-grad: with s=2, ci=3 the sub-pixel
