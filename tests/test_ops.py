@@ -268,9 +268,11 @@ def test_stem_conv_packed_backward_matches_autodiff():
     cases = [
         (7, 2, 3, 32, 3, 64),  # the ResNet RGB stem shape family
         (7, 2, 3, 30, 3, 64),  # odd output parity
-        (3, 2, 1, 16, 3, 32),  # MobileNet-style stem
+        (3, 2, 1, 16, 3, 32),  # HRNet-style stem
         (3, 2, 1, 17, 3, 32),  # ragged spatial size
         (7, 2, 3, 33, 4, 8),   # non-3 narrow cin, narrow cout
+        (3, 2, 0, 34, 3, 32),  # VALID stems (Xception conv1 / MobileNet)
+        (3, 2, 0, 33, 3, 32),  # VALID + ragged
     ]
     for k, s, p, hw, ci, co in cases:
         kx, kw_, kg = jax.random.split(jax.random.PRNGKey(k * 100 + hw), 3)

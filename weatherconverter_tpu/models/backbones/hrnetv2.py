@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from weatherconverter_tpu.models.norm import bn_momentum
+from weatherconverter_tpu.ops.packed_conv import ConvParams, stem_conv
 
 from weatherconverter_tpu.ops.image import resize_bilinear, resize_nearest
 
@@ -35,15 +36,27 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=(self.kernel - 1) // 2,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        cin = x.shape[-1]
+        if cin <= 4 and self.stride == 2:
+            # RGB stem: packed data-grad for the guidance backward
+            # (ops/packed_conv.py; same rationale as the ResNet stem)
+            kern, _ = ConvParams(
+                (self.kernel, self.kernel, cin, self.features), name="conv"
+            )()
+            h = stem_conv(
+                x.astype(self.dtype), kern.astype(self.dtype), 2,
+                (self.kernel - 1) // 2,
+            )
+        else:
+            h = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=(self.kernel - 1) // 2,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn")(h)
         return nn.relu(h) if self.relu else h
 

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from weatherconverter_tpu.models.norm import bn_momentum
+from weatherconverter_tpu.ops.packed_conv import ConvParams, stem_conv
 
 Dtype = Any
 
@@ -65,17 +66,26 @@ class ConvBNReLU6(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=0,
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        cin = x.shape[-1]
+        if cin <= 4 and self.stride == 2 and self.dilation == 1 and self.groups == 1:
+            # RGB stem (input pre-padded by fixed_padding, conv pad=0):
+            # packed data-grad for the guidance backward (ops/packed_conv.py)
+            kern, _ = ConvParams(
+                (self.kernel, self.kernel, cin, self.features), name="conv"
+            )()
+            h = stem_conv(x.astype(self.dtype), kern.astype(self.dtype), 2, 0)
+        else:
+            h = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=0,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn")(h)
         if self.relu6:
             h = jnp.minimum(nn.relu(h), 6.0)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from weatherconverter_tpu.models.norm import bn_momentum
+from weatherconverter_tpu.ops.packed_conv import ConvParams, stem_conv
 
 Dtype = Any
 
@@ -128,7 +129,10 @@ class XceptionFeatures(nn.Module):
                 return 1, dilation
             return s, dilation
 
-        h = nn.Conv(32, (3, 3), strides=(2, 2), padding=0, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        # RGB stem: packed data-grad for the guidance backward
+        # (ops/packed_conv.py; same rationale as the ResNet stem)
+        _k1, _ = ConvParams((3, 3, x.shape[-1], 32), name="conv1")()
+        h = stem_conv(x.astype(self.dtype), _k1.astype(self.dtype), 2, 0)
         h = nn.BatchNorm(use_running_average=not self.train, momentum=bn_momentum(), dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(64, (3, 3), padding=0, use_bias=False, dtype=self.dtype, name="conv2")(h)

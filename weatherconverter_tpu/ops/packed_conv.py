@@ -119,14 +119,18 @@ def _parity_kernel(w: jax.Array, stride: int, pad: int) -> tuple[jax.Array, int]
     s = stride
     wf = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)  # (k, k, co, ci), flipped
 
-    # per-parity 1D tap index sets (in flipped-kernel coordinates)
+    # per-parity 1D tap index sets (in flipped-kernel coordinates):
+    # dx[s*m + a] = sum_j wf[u0_a + s*j] g[m + off_a + j] with
+    # u0_a = (k-1-a-pad) % s and off_a = (a + pad - (k-1) + u0_a) / s
+    # (general padding; for SAME padding k = 2*pad+1 this reduces to
+    # off_a = (a + u0_a - pad) / s).
     tap_u = []  # tap_u[a] = list of u indices, g offset = off_a + j
     offs = []
     jmax = 0
     for a in range(s):
-        u0 = (pad - a) % s
+        u0 = (k - 1 - a - pad) % s
         us = list(range(u0, k, s))
-        off_a = (a + u0 - pad) // s
+        off_a = (a + pad - (k - 1) + u0) // s
         tap_u.append(us)
         offs.append(off_a)
         jmax = max(jmax, len(us))
