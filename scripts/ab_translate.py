@@ -68,7 +68,11 @@ def run(params, key):
     )
 
 
-f = jax.jit(run)
+copts = None
+vmem_kib = os.environ.get("WCTPU_SCOPED_VMEM_KIB")
+if vmem_kib:
+    copts = {"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
+f = jax.jit(run, compiler_options=copts)
 allp = (uparams, seg_vars, gvars)
 float(jnp.sum(f(allp, jax.random.PRNGKey(999)).astype(jnp.float32)))  # compile
 best = 1e9
