@@ -82,3 +82,22 @@ def test_cli_quality_synthetic_report(tiny_cfg, tmp_path):
     for k in ("miou_original", "miou_translated", "miou_consistency_gap"):
         assert np.isfinite(report[k])
     assert report["fid_kind"].startswith("seg_backbone")
+
+
+def test_cli_super_resolve(tmp_path):
+    """`super-resolve` upscales one image by the config factor (reference:
+    srgan_model/inference.py standalone entry)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TINY_YAML)
+    img = tmp_path / "in.png"
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (20, 24, 3), dtype=np.uint8)
+    ).save(img)
+    out = tmp_path / "sr.png"
+    rc = main([
+        "super-resolve", "--config", str(cfg), "--image", str(img),
+        "--out", str(out),
+    ])
+    assert rc == 0
+    sr = Image.open(out)
+    assert sr.size == (48, 40)  # 2x of (24, 20) in PIL (W, H) order

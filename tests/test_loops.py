@@ -110,3 +110,25 @@ def test_seg_loop_resume_and_best_ckpt_consumption(tmp_path):
         jnp.zeros((1, 16, 16, 3)),
     )
     assert out.shape == (1, 16, 16, 5)
+
+
+def test_srgan_loop_smoke_both_phases(tmp_path):
+    """train-srgan CLI path minus argparse: pretrain epoch then GAN epoch on
+    a synthetic HR pool (the reference ships NO SRGAN training at all —
+    srgan_model/inference.py only)."""
+    from weatherconverter_tpu.core.config import SRGANTrainConfig
+    from weatherconverter_tpu.training import loop_srgan
+
+    cfg = SRGANTrainConfig(**{
+        "srgan": {"num_channels": 8, "num_blocks": 1, "upscale_factor": 2},
+        "training": {
+            "epochs": 2, "pretrain_epochs": 1, "batch_size": 4, "hr_crop": 16,
+            "log_interval": 1, "save_interval": 10,
+        },
+        "folders": {"output": str(tmp_path / "out")},
+    })
+    gs, ds = loop_srgan.train(cfg, max_steps=4, dataset=FakeImages(hw=(18, 18)))
+    # max_steps=4 with 2 steps/epoch: one pretrain epoch + one GAN epoch ran
+    assert int(gs.step) == 4
+    assert int(ds.step) >= 1  # discriminator updated in the GAN phase
+    assert (tmp_path / "out" / "0" / "metrics.jsonl").exists()

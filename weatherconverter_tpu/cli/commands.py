@@ -212,6 +212,56 @@ def run_translate(args) -> int:
     return 0
 
 
+def run_super_resolve(args) -> int:
+    """Standalone SRGAN upscale of one image (reference:
+    srgan_model/inference.py:35-53 — preprocess to [0,1], no_grad forward,
+    save PIL). The checkpoint may be the reference's torch .pth.tar (key
+    'model', srgan inference.py:13), an Orbax run dir, or an .npz export."""
+    from PIL import Image
+
+    from weatherconverter_tpu.core.config import load_translation_config
+    from weatherconverter_tpu.models.srgan import Generator
+
+    cfg = load_translation_config(args.config)
+    gen = Generator(
+        in_channels=cfg.srgan.in_channels, num_channels=cfg.srgan.num_channels,
+        num_blocks=cfg.srgan.num_blocks, upscale_factor=cfg.srgan.upscale_factor,
+    )
+    img = Image.open(args.image).convert("RGB")
+    x = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)[None]
+
+    if args.checkpoint and (
+        args.checkpoint.endswith((".pth", ".pth.tar", ".ckpt", ".pt"))
+    ):
+        from weatherconverter_tpu.compat.torch_import import (
+            convert_srgan_generator,
+            load_torch_checkpoint,
+        )
+
+        gp, gs = convert_srgan_generator(
+            load_torch_checkpoint(args.checkpoint), cfg.srgan.num_blocks
+        )
+        gvars = {"params": gp, "batch_stats": gs}
+    else:
+        gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), x)
+        if args.checkpoint:
+            from weatherconverter_tpu.core.checkpoint import restore_auto
+
+            gvars = restore_auto(args.checkpoint, gvars, prefer_best=True)
+
+    out = jax.jit(gen.apply)(gvars, x)
+    # single image, no grid border (reference saves the PIL image directly,
+    # srgan inference.py:42-53)
+    from weatherconverter_tpu.utils.images import to_uint8_image
+    import os as _osmod
+
+    arr = to_uint8_image(out, "unit")[0]
+    _osmod.makedirs(_osmod.path.dirname(_osmod.path.abspath(args.out)), exist_ok=True)
+    Image.fromarray(arr).save(args.out)
+    print(f"saved {args.out} ({out.shape[2]}x{out.shape[1]})")
+    return 0
+
+
 def run_infer_seg(args) -> int:
     """Seg inference + input-gradient probe (reference: seg_model/
     inference.py:118-152 + 6-panel visualization 155-200)."""

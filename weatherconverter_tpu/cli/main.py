@@ -33,6 +33,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-steps", type=int, default=None)
     s.add_argument("--set", nargs="*", default=[])
 
+    sg = sub.add_parser("train-srgan", help="train Swift-SRGAN (pretrain + adversarial)")
+    sg.add_argument("--config", default=None, help="srgan train config YAML")
+    sg.add_argument("--max-steps", type=int, default=None)
+    sg.add_argument("--set", nargs="*", default=[])
+
+    sr = sub.add_parser("super-resolve", help="SRGAN 4x upscale of an image (reference srgan_model/inference.py)")
+    sr.add_argument("--config", default=None, help="translation config YAML (srgan section)")
+    sr.add_argument("--image", required=True)
+    sr.add_argument("--checkpoint", default=None, help="torch .pth.tar / orbax dir / .npz")
+    sr.add_argument("--out", default="outputs/super_resolved.png")
+
     sa = sub.add_parser("sample", help="unconditional DDPM sampling")
     sa.add_argument("--config", default=None)
     sa.add_argument("--checkpoint", default=None, help="orbax dir / .npz / torch .ckpt")
@@ -165,6 +176,17 @@ def main(argv=None) -> int:
         cfg = load_seg_config(args.config, **parse_overrides(args.set))
         loop_segmentation.train(cfg, max_steps=args.max_steps)
         return 0
+    if args.command == "train-srgan":
+        from weatherconverter_tpu.core.config import load_srgan_train_config
+        from weatherconverter_tpu.training import loop_srgan
+
+        cfg = load_srgan_train_config(args.config, **parse_overrides(args.set))
+        loop_srgan.train(cfg, max_steps=args.max_steps)
+        return 0
+    if args.command == "super-resolve":
+        from weatherconverter_tpu.cli.commands import run_super_resolve
+
+        return run_super_resolve(args)
     if args.command == "sample":
         from weatherconverter_tpu.cli.commands import run_sample
 

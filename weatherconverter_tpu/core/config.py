@@ -255,6 +255,26 @@ class SRGANConfig(BaseModel):
     checkpoint: str = ""
 
 
+class SRGANTrainingConfig(TrainingConfig):
+    """Swift-SRGAN training knobs (capability the reference lacks — it ships
+    only srgan_model/inference.py; recipe follows the Swift-SRGAN paper:
+    pixel-loss pretrain, then adversarial fine-tune)."""
+
+    pretrain_epochs: int = 5
+    g_lr: float = 1e-4
+    d_lr: float = 1e-4
+    pixel_loss: str = "l1"  # 'l1' | 'l2'
+    adv_weight: float = 1e-3
+    hr_crop: int = 96  # HR patch size; LR patch = hr_crop / upscale_factor
+
+
+class SRGANTrainConfig(BaseModel):
+    srgan: SRGANConfig = Field(default_factory=SRGANConfig)
+    data: DiffusionDataConfig = Field(default_factory=DiffusionDataConfig)
+    training: SRGANTrainingConfig = Field(default_factory=SRGANTrainingConfig)
+    folders: FolderConfig = Field(default_factory=FolderConfig)
+
+
 # ---------------------------------------------------------------------------
 # Translation / guided-sampling config (reference: translation.py:55-56 hardcodes
 # LAMBDA = 60.0, N = 500)
@@ -303,6 +323,14 @@ def load_seg_config(path: Optional[str] = None, **overrides) -> SegConfig:
     data = load_yaml(path) if path else {}
     data = _deep_update(data, overrides)
     return SegConfig(**data)
+
+
+def load_srgan_train_config(path: Optional[str] = None, **overrides) -> SRGANTrainConfig:
+    """Load a Swift-SRGAN training config YAML (framework capability — the
+    reference ships no SRGAN training, srgan_model/inference.py only)."""
+    data = load_yaml(path) if path else {}
+    data = _deep_update(data, overrides)
+    return SRGANTrainConfig(**data)
 
 
 def load_translation_config(path: Optional[str] = None, **overrides) -> TranslationConfig:
