@@ -132,3 +132,70 @@ def test_srgan_loop_smoke_both_phases(tmp_path):
     assert int(gs.step) == 4
     assert int(ds.step) >= 1  # discriminator updated in the GAN phase
     assert (tmp_path / "out" / "0" / "metrics.jsonl").exists()
+
+
+def test_srgan_ckpt_roundtrip_to_super_resolve(tmp_path):
+    """A train-srgan checkpoint (the (gen, disc) state tuple) loads into the
+    super-resolve CLI's bare generator variables (restore_auto projection)."""
+    import numpy as np
+    from PIL import Image
+
+    from weatherconverter_tpu.cli.main import main
+    from weatherconverter_tpu.core.config import SRGANTrainConfig
+    from weatherconverter_tpu.training import loop_srgan
+
+    cfg = SRGANTrainConfig(**{
+        "srgan": {"num_channels": 8, "num_blocks": 1, "upscale_factor": 2},
+        "training": {
+            "epochs": 1, "pretrain_epochs": 1, "batch_size": 4, "hr_crop": 16,
+            "log_interval": 1, "save_interval": 1,
+        },
+        "folders": {"output": str(tmp_path / "out")},
+    })
+    loop_srgan.train(cfg, dataset=FakeImages(hw=(18, 18)))
+    ckpt_dir = str(tmp_path / "out" / "0" / "checkpoints")
+
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(
+        "srgan: {num_channels: 8, num_blocks: 1, upscale_factor: 2}\n"
+    )
+    img = tmp_path / "in.png"
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (12, 12, 3), dtype=np.uint8)
+    ).save(img)
+    out = tmp_path / "sr.png"
+    rc = main([
+        "super-resolve", "--config", str(cfg_yaml), "--image", str(img),
+        "--checkpoint", ckpt_dir, "--out", str(out),
+    ])
+    assert rc == 0
+    assert Image.open(out).size == (24, 24)
+
+
+def test_srgan_resume_restores_epoch_and_phase(tmp_path):
+    """Resume continues from the saved epoch (phase schedule included)
+    instead of re-running pretrain over an adversarially-tuned generator."""
+    from weatherconverter_tpu.core.config import SRGANTrainConfig
+    from weatherconverter_tpu.training import loop_srgan
+
+    base = {
+        "srgan": {"num_channels": 8, "num_blocks": 1, "upscale_factor": 2},
+        "training": {
+            "epochs": 1, "pretrain_epochs": 1, "batch_size": 4, "hr_crop": 16,
+            "log_interval": 1, "save_interval": 1,
+        },
+        "folders": {"output": str(tmp_path / "out")},
+    }
+    gs, _ = loop_srgan.train(SRGANTrainConfig(**base), dataset=FakeImages(hw=(18, 18)))
+    assert int(gs.epoch) == 1
+    steps_after_phase1 = int(gs.step)
+
+    ckpt_dir = str(tmp_path / "out" / "0" / "checkpoints")
+    base["training"].update(
+        {"epochs": 2, "resume_training": True, "resume_checkpoint": ckpt_dir}
+    )
+    gs2, ds2 = loop_srgan.train(SRGANTrainConfig(**base), dataset=FakeImages(hw=(18, 18)))
+    # epoch 0 (pretrain) was NOT re-run: only epoch 1 (gan phase) executed
+    assert int(gs2.epoch) == 2
+    assert int(gs2.step) == steps_after_phase1 + 2  # one more 2-step epoch
+    assert int(ds2.step) == 2  # discriminator trained only in the gan epoch

@@ -253,10 +253,9 @@ def run_super_resolve(args) -> int:
     # single image, no grid border (reference saves the PIL image directly,
     # srgan inference.py:42-53)
     from weatherconverter_tpu.utils.images import to_uint8_image
-    import os as _osmod
 
     arr = to_uint8_image(out, "unit")[0]
-    _osmod.makedirs(_osmod.path.dirname(_osmod.path.abspath(args.out)), exist_ok=True)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     Image.fromarray(arr).save(args.out)
     print(f"saved {args.out} ({out.shape[2]}x{out.shape[1]})")
     return 0

@@ -208,8 +208,21 @@ def restore_auto(path: str, target: Any, prefer_best: bool = True) -> Any:
             # {'params','batch_stats'} variables): restore raw and project
             # onto the target's top-level keys.
             raw = mgr.restore(step=step, target=None)
-            if isinstance(target, dict) and isinstance(raw, dict):
-                out = {k: raw[k] for k in target if k in raw}
+            cand = raw
+            if isinstance(raw, (list, tuple)):
+                # multi-state checkpoints (e.g. the SRGAN loop's
+                # (gen_state, disc_state) tuple): pick the element carrying
+                # the target's keys (the generator comes first)
+                cand = next(
+                    (
+                        e
+                        for e in raw
+                        if isinstance(e, dict) and all(k in e for k in target)
+                    ),
+                    None,
+                ) if isinstance(target, dict) else None
+            if isinstance(target, dict) and isinstance(cand, dict):
+                out = {k: cand[k] for k in target if k in cand}
             else:
                 out = raw
         mgr.close()

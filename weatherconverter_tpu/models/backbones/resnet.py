@@ -19,25 +19,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from weatherconverter_tpu.models.norm import bn_momentum
-from weatherconverter_tpu.ops.packed_conv import stem_conv
+from weatherconverter_tpu.ops.packed_conv import ConvParams, stem_conv
 
 Dtype = Any
 
 # Equivalence toggle (tests flip it to compare against the plain nn.Conv
 # autodiff path); parameter layout is identical either way.
 _PACKED_STEM_BWD = True
-
-
-class _BareConvKernel(nn.Module):
-    """Kernel-only param with nn.Conv's scope layout (name='conv', param
-    'kernel'), so the packed-backward stem path below shares its checkpoint
-    layout with the nn.Conv path."""
-
-    shape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
 
 
 class ConvBN(nn.Module):
@@ -67,7 +55,7 @@ class ConvBN(nn.Module):
             and self.dilation == 1
             and self.groups == 1
         ):
-            kern = _BareConvKernel(
+            kern, _ = ConvParams(
                 (self.kernel, self.kernel, cin, self.features), name="conv"
             )()
             h = stem_conv(

@@ -156,7 +156,17 @@ class SeparableConv(nn.Module):
 # (scripts/ab_translate.py). "0x0" disables (factorized fallback).
 import os as _os
 
-_TAIL_PACK = tuple(int(v) for v in _os.environ.get("WCTPU_TAIL_PACK", "4x8").split("x"))
+
+def _parse_tail_pack(spec: str) -> tuple[int, int]:
+    parts = spec.split("x")
+    if len(parts) != 2 or not all(p.strip().isdigit() for p in parts):
+        raise ValueError(
+            f"WCTPU_TAIL_PACK must be 'NxM' (e.g. '4x8', '0x0' to disable); got {spec!r}"
+        )
+    return int(parts[0]), int(parts[1])
+
+
+_TAIL_PACK = _parse_tail_pack(_os.environ.get("WCTPU_TAIL_PACK", "4x8"))
 
 
 class _ConvParams(nn.Module):

@@ -138,8 +138,8 @@ def train(
         dstate = replicate(mesh, dstate)
 
     tkey = keys["train"]
-    global_step = 0
-    for epoch in range(tr.epochs):
+    global_step = int(jax.device_get(gs.step))
+    for epoch in range(int(jax.device_get(gs.epoch)), tr.epochs):
         phase = "pretrain" if epoch < tr.pretrain_epochs else "gan"
         ep_g, ep_d, nb, t0 = 0.0, 0.0, 0, time.time()
         for batch in loader:
@@ -176,6 +176,7 @@ def train(
             },
             step=global_step,
         )
+        gs = gs.replace(epoch=epoch + 1)
         if (epoch + 1) % tr.save_interval == 0:
             ckpt.save(epoch + 1, jax.device_get((gs, dstate)))
     ckpt.wait()

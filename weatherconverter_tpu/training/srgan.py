@@ -24,6 +24,9 @@ from weatherconverter_tpu.training.losses import bce_logits
 
 class SRGANState(train_state.TrainState):
     batch_stats: Any = None
+    # completed-epoch counter for phase-correct resume (mirrors
+    # DDPMTrainState.epoch; the pretrain->gan phase schedule derives from it)
+    epoch: int = 0
 
 
 def create_srgan_states(
