@@ -69,6 +69,7 @@ def sample_with_sgg(
     normalize_seg_input: bool = False,
     guidance_every: int = 1,
     guidance_style: str = "alternate",
+    spatial_mesh=None,
 ) -> jax.Array:
     """Returns the translated image upscaled to 512px in [0, 1]
     (reference: translation.py:95 final SRGAN pass).
@@ -80,6 +81,13 @@ def sample_with_sgg(
     `guidance_style`: 'alternate' = the reference's even->LCG / odd->GSG
     schedule (translation.py:84-87); 'gsg' / 'lcg' = that operator every
     guided step; 'none' = plain ancestral chain.
+
+    `spatial_mesh`: a ('data', 'space') mesh (parallel/spatial.py) shards the
+    HIGH-RESOLUTION half of every step — the SRGAN output and the seg
+    fwd+input-grad over it — along image height across devices; XLA inserts
+    the conv halo exchanges over ICI. For guidance resolutions whose HR
+    activations exceed one chip (1024px+); at the 256px bench shape one chip
+    saturates and DP over images is the right layout instead.
     """
     if normalize_seg_input:
         raw_seg_fn = seg_fn
@@ -104,6 +112,10 @@ def sample_with_sgg(
         z = jax.random.normal(zkey, xt.shape, dtype=xt.dtype)
 
         sr_xt = sr_fn(xt)
+        if spatial_mesh is not None:
+            from weatherconverter_tpu.parallel.spatial import constrain_spatial
+
+            sr_xt = constrain_spatial(sr_xt, spatial_mesh)
 
         do_guide = (i != 0) & (jnp.mod(i, guidance_every) == 0)
 
