@@ -85,3 +85,40 @@ def test_profiling_helpers_run():
     stats = device_memory_stats()
     assert isinstance(stats, dict)
     assert isinstance(format_memory(), str)
+
+
+def test_restore_auto_into_state_with_added_field(tmp_path):
+    """Resuming a TrainState from a checkpoint written before a field
+    existed (e.g. pre-EMA runs) merges matching keys and keeps the new
+    field's initialized value — instead of returning a raw dict that
+    crashes the caller (review round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import struct
+    from flax.training import train_state
+
+    from weatherconverter_tpu.core.checkpoint import CheckpointManager, restore_auto
+
+    class OldState(train_state.TrainState):
+        epoch: int = 0
+
+    class NewState(train_state.TrainState):
+        epoch: int = 0
+        extra: jnp.ndarray = struct.field(default=None)
+
+    params = {"w": jnp.ones((3,))}
+    tx = optax.sgd(0.1)
+    old = OldState.create(apply_fn=None, params=params, tx=tx).replace(epoch=7)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(1, jax.device_get(old))
+    ckpt.wait()
+
+    new_t = NewState.create(
+        apply_fn=None, params={"w": jnp.zeros((3,))}, tx=tx
+    ).replace(extra=jnp.full((2,), 5.0))
+    out = restore_auto(str(tmp_path / "ck"), new_t, prefer_best=False)
+    assert isinstance(out, NewState)
+    assert int(out.epoch) == 7
+    assert float(out.params["w"][0]) == 1.0  # restored
+    assert float(out.extra[0]) == 5.0  # kept from target init

@@ -135,3 +135,59 @@ def test_sample_with_sgg_reference_mode_matches_unguided_chain():
         lam=0.0, num_steps=6, num_classes=C, mode="reference", start_t=4,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_nolam), rtol=1e-5)
+
+
+def test_guidance_gradients_batch_invariant():
+    """Per-image CE normalization (seg_ce_per_image): each image's input
+    gradient equals its own single-image computation at any batch size —
+    batch-mean CE would divide gradients by B (review round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weatherconverter_tpu.guidance.sgg import seg_input_gradients
+    from weatherconverter_tpu.models.factory import make_seg_model
+
+    seg = make_seg_model("deeplabv3_resnet18", num_classes=5, train=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 32, 32, 3))
+    v = seg.init(jax.random.PRNGKey(1), x)
+    gt = jax.random.randint(jax.random.PRNGKey(2), (3, 32, 32), 0, 5)
+    fn = lambda im: seg.apply(v, im)
+
+    g_batch = seg_input_gradients(fn, x, gt)
+    for i in range(3):
+        g_one = seg_input_gradients(fn, x[i : i + 1], gt[i : i + 1])
+        np.testing.assert_allclose(
+            np.asarray(g_batch[i]), np.asarray(g_one[0]), atol=1e-6, rtol=1e-5
+        )
+
+
+def test_lcg_chunk_width_invariant():
+    """apply_lcg must give identical results for any class_chunk — the
+    microbatching is an execution detail, not a semantics knob (a batch-mean
+    CE made chunk=4 guidance exactly 4x weaker; review round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weatherconverter_tpu.guidance.sgg import apply_lcg
+    from weatherconverter_tpu.models.factory import make_seg_model
+
+    C = 5
+    seg = make_seg_model("deeplabv3_resnet18", num_classes=C, train=False)
+    hr = 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, hr, hr, 3))
+    v = seg.init(jax.random.PRNGKey(1), x)
+    gt = jax.random.randint(jax.random.PRNGKey(2), (2, hr, hr), 0, C)
+    mu = jax.random.normal(jax.random.PRNGKey(3), (2, hr // 2, hr // 2, 3)) * 0.1
+    sig = jnp.full((1, 1, 1, 1), 0.5)
+    z = jax.random.normal(jax.random.PRNGKey(4), mu.shape)
+    fn = lambda im: seg.apply(v, im)
+
+    outs = [
+        apply_lcg(fn, mu, sig, x, gt, 60.0, num_classes=C, noise=z,
+                  mode="fixed", class_chunk=ck)
+        for ck in (1, 2, C)
+    ]
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[2]), atol=1e-5, rtol=1e-5)

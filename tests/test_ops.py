@@ -311,3 +311,25 @@ def test_resnet_stem_grad_unchanged_by_packed_path():
     np.testing.assert_allclose(
         np.asarray(g_packed), np.asarray(g_plain), atol=1e-5, rtol=1e-4
     )
+
+
+def test_flash_attention_underflow_rows_stay_finite():
+    """A row whose scores all sit far below zero must not produce NaN: the
+    two-sided exp clamp keeps the softmax denominator positive (one-sided
+    clamping underflowed every exp to 0 -> 0/0; review round 3)."""
+    from weatherconverter_tpu.ops.attention import flash_attention
+
+    B, H, N, D = 1, 1, 256, 32
+    q = jnp.full((B, H, N, D), 30.0, jnp.float32)
+    k = jnp.full((B, H, N, D), -30.0, jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D))
+    out = flash_attention(q, k, v)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # scores are uniform (-sqrt(D)*900 everywhere, clamped) -> softmax is
+    # uniform -> output is the mean of V
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, 0]), np.asarray(jnp.mean(v[0, 0], axis=0)),
+        atol=1e-3, rtol=1e-3,
+    )
+    g = jax.grad(lambda vv: jnp.sum(flash_attention(q, k, vv) ** 2))(v)
+    assert bool(jnp.all(jnp.isfinite(g)))

@@ -224,11 +224,44 @@ def restore_auto(path: str, target: Any, prefer_best: bool = True) -> Any:
             if isinstance(target, dict) and isinstance(cand, dict):
                 out = {k: cand[k] for k in target if k in cand}
             else:
-                out = raw
+                out = _merge_into_target(target, raw)
         mgr.close()
         return out
     ocp = _ocp()
     return ocp.StandardCheckpointer().restore(path, target)
+
+
+def _merge_into_target(target: Any, raw: Any) -> Any:
+    """Best-effort restore of a structured target (e.g. a TrainState) from a
+    raw checkpoint whose pytree structure differs — the checkpoint may
+    predate fields added later (a pre-EMA DDPMTrainState) or carry extras.
+    Keys present in both are taken from the checkpoint recursively; keys
+    only in the target keep their initialized values. Never returns the raw
+    dict for a dataclass target (which would crash the caller later at the
+    first attribute access)."""
+    from flax import serialization
+
+    try:
+        tdict = serialization.to_state_dict(target)
+    except Exception:
+        return raw
+
+    def merge(t, r):
+        # Orbax's target-less restore yields LISTS where flax state-dicts
+        # use {'0': ..., '1': ...} for tuple nodes (e.g. optax opt_state)
+        if isinstance(t, dict) and isinstance(r, (list, tuple)):
+            r = {str(i): v for i, v in enumerate(r)}
+        if isinstance(t, dict) and isinstance(r, dict):
+            return {k: merge(v, r[k]) if k in r else v for k, v in t.items()}
+        return r if r is not None else t
+
+    if not isinstance(raw, dict):
+        return raw
+    merged = merge(tdict, raw)
+    try:
+        return serialization.from_state_dict(target, merged)
+    except Exception:
+        return raw
 
 
 def _best_metric_name(path: str) -> Optional[str]:

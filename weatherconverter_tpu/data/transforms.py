@@ -368,13 +368,19 @@ def random_rotation(
     labels: Optional[jax.Array] = None,
     degrees: float | tuple[float, float] = 10.0,
     img_fill: float = 0.0,
-    lbl_fill: int = 0,
+    lbl_fill: int = 255,
 ):
     """ExtRandomRotation (reference ext_transforms.py:239-310): angle ~
     U(degrees), rotation about the image center on the same canvas
-    (expand=False), bilinear img / nearest lbl, fill 0. NOTE lbl_fill
-    defaults to 0 like PIL's F.rotate in the reference — 0 is a real
-    train-id (road); pass lbl_fill=255 to ignore rotated-in corners."""
+    (expand=False), bilinear img / nearest lbl.
+
+    lbl_fill note: PIL's F.rotate fills labels with 0 — but the reference
+    rotates RAW labelIds where id 0 ('unlabeled') later encodes to 255
+    ignore (acdc.py:135-138), while THIS pipeline's labels are already
+    train-ids at augmentation time (datasets.py encodes in __getitem__),
+    where 0 = 'road'. The reference-equivalent fill for train-id labels is
+    therefore 255 (the default); pass lbl_fill=0 only when rotating raw
+    labelIds."""
     lo, hi = (-degrees, degrees) if isinstance(degrees, (int, float)) else degrees
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     ang = jax.random.uniform(key, (b,), minval=lo, maxval=hi) * (jnp.pi / 180.0)

@@ -54,10 +54,32 @@ def seg_ce(seg_fn: SegFn, x: jax.Array, gt: jax.Array) -> jax.Array:
     return cross_entropy_loss(seg_fn(x), gt, ignore_index=255)
 
 
+def seg_ce_per_image(seg_fn: SegFn, x: jax.Array, gt: jax.Array) -> jax.Array:
+    """Sum over the batch of PER-IMAGE mean CE (ignore=255).
+
+    The reference computes guidance one image at a time (translation.py
+    runs batch 1; inference.py:137 takes the mean over that single image's
+    valid pixels). Batching independent translations must not change each
+    image's gradient — a plain batch-mean CE would divide every gradient by
+    the batch size (and, for LCG's class-microbatching, additionally by the
+    class-chunk width — a 4x guidance weakening caught in review). Summing
+    per-image means makes d L / d x_i identical to the reference's
+    single-image call at ANY batch size.
+    """
+    from weatherconverter_tpu.training.losses import _per_pixel_ce
+
+    ce, valid = _per_pixel_ce(seg_fn(x), gt, 255)
+    axes = tuple(range(1, ce.ndim))
+    per_img = jnp.sum(ce, axis=axes) / jnp.maximum(jnp.sum(valid, axis=axes), 1)
+    return jnp.sum(per_img)
+
+
 def seg_input_gradients(seg_fn: SegFn, x: jax.Array, gt: jax.Array) -> jax.Array:
     """d L_CE / d x — the reference's `infer` input-gradient probe
-    (reference: inference.py:131-143) as one jax.grad."""
-    return jax.grad(lambda img: seg_ce(seg_fn, img, gt))(x)
+    (reference: inference.py:131-143) as one jax.grad. Per-image CE
+    normalization (see seg_ce_per_image): identical to the reference at
+    batch 1 and batch-size-invariant beyond it."""
+    return jax.grad(lambda img: seg_ce_per_image(seg_fn, img, gt))(x)
 
 
 def gradient_magnitude(
@@ -128,9 +150,14 @@ def apply_lcg(
 
     The 19-iteration Python loop of the reference becomes a `lax.map` over
     MICROBATCHED class chunks: `class_chunk` masked copies of the batch are
-    stacked into one seg fwd+bwd per chunk (identical math; measured ~30%
-    cheaper per class on v5e than one-class-at-a-time, which under-fills the
-    chip at the flagship batch). Each chunk is rematerialized
+    stacked into one seg fwd+bwd per chunk (measured ~30% cheaper per class
+    on v5e than one-class-at-a-time, which under-fills the chip at the
+    flagship batch). Chunking is EXACT because the guidance loss sums
+    per-image mean CEs (seg_ce_per_image): each masked copy's gradient is
+    normalized by its own valid-pixel count, exactly as the reference's
+    separate per-class calls — a batch-mean CE here silently weakened
+    guidance by the chunk width (caught in round-3 review, fixed).
+    Each chunk is rematerialized
     (jax.checkpoint) so only one chunk's activations are live at a time.
     Masks are downsampled to latent resolution for the recombine (fixing the
     reference's 512px-mask x 128px-latent shape bug, sgg.py:58).

@@ -67,11 +67,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     # Stability: a row-max subtraction costs a full extra (block_q, N) reduce
     # + subtract pass (~15% of the kernel, measured on v5e). In f32, exp is
     # exact-softmax-safe for s <= ~88; GN-prenormed image tokens keep scores
-    # orders of magnitude below that, so a one-op clamp replaces the max pass
-    # (identical softmax whenever no element clamps, which is always in
-    # practice; the clamp only guards against inf/NaN for pathological
-    # weights).
-    p = jnp.exp(jnp.minimum(s, _CLAMP))
+    # orders of magnitude below that, so a one-op two-sided clamp replaces
+    # the max pass (identical softmax whenever no element clamps, which is
+    # always in practice). The LOW clamp matters for robustness: a row whose
+    # scores all sit below ~-88 would underflow every exp to 0 and yield
+    # 0/0 = NaN; clamping to -_CLAMP keeps l >= N*e^-60 > 0 (such rows
+    # degrade gracefully to near-uniform attention, which is also what a
+    # row-max softmax gives for uniformly tiny scores).
+    p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP))
     l = jnp.sum(p, axis=-1, keepdims=True)
     # Normalize AFTER the PV matmul: dividing the (block_q, D) output costs
     # N/D times less VPU work than dividing the (block_q, N) probs, and the
@@ -141,19 +144,19 @@ def _flash_bwd_kernel(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (bq, N)
-    p = jnp.exp(jnp.minimum(s, _CLAMP))
+    p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP))
     l = jnp.sum(p, axis=-1, keepdims=True)
     pn = p / l  # softmax probs
 
     # dpn = dO V^T ; ds = pn * (dpn - rowsum(dO * O)) * scale, with the
-    # exp-clamp gradient mask folded in (zero where s clamped)
+    # exp-clamp gradient mask folded in (zero where s clamped, either side)
     dpn = jax.lax.dot_general(
         do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     Dv = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
     ds = pn * (dpn - Dv)
-    ds = jnp.where(s <= _CLAMP, ds, 0.0) * scale
+    ds = jnp.where((s <= _CLAMP) & (s >= -_CLAMP), ds, 0.0) * scale
     ds_lp = ds.astype(q.dtype)
 
     dq = jax.lax.dot_general(

@@ -44,6 +44,11 @@ def _decode_png(b64: str, size: int, nearest: bool = False) -> np.ndarray:
     from PIL import Image
 
     img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    if not nearest:
+        # images must land as (H, W, 3): grayscale/RGBA inputs otherwise
+        # break the fixed-shape micro-batch (labels stay in their native
+        # mode for exact id decoding)
+        img = img.convert("RGB")
     img = img.resize((size, size), Image.NEAREST if nearest else Image.BILINEAR)
     return np.asarray(img)
 
@@ -68,7 +73,6 @@ class TranslationService:
         from weatherconverter_tpu.data.labels import encode_target
         from weatherconverter_tpu.diffusion.sampling import ddpm_sample
         from weatherconverter_tpu.diffusion.schedule import make_schedule
-        from weatherconverter_tpu.guidance.translate import make_translate_fn
         from weatherconverter_tpu.models.factory import make_seg_model
         from weatherconverter_tpu.models.srgan import Generator
         from weatherconverter_tpu.models.unet import Unet
@@ -113,24 +117,49 @@ class TranslationService:
             dcfg.diffusion.beta_start, dcfg.diffusion.beta_end,
         )
 
-        translate = make_translate_fn(
-            unet, uparams, sched, seg, seg_vars, gen, gvars,
-            lam=cfg.guidance.lambda_, num_steps=self.steps,
-            num_classes=cfg.seg.model.num_classes, mode=cfg.guidance.mode,
-        )
+        # Per-item RNG: each request's seed drives ITS image via vmap over
+        # per-item keys, so a request is deterministic regardless of what
+        # other traffic lands in the same micro-batch (review round 3: the
+        # old code used items[0]'s seed/steps for the whole batch).
+        from weatherconverter_tpu.guidance.translate import sample_with_sgg
+
+        lam = cfg.guidance.lambda_
+        num_classes = cfg.seg.model.num_classes
+        mode = cfg.guidance.mode
+        translate_steps = self.steps
+
+        def _translate_many(dp, sv, gv, imgs, gts, keys):
+            def one(im, g, k):
+                return sample_with_sgg(
+                    lambda x, t: unet.apply({"params": dp}, x, t),
+                    sched,
+                    lambda x: seg.apply(sv, x),
+                    lambda x: gen.apply(gv, x),
+                    im[None], g[None], k,
+                    lam=lam, num_steps=translate_steps,
+                    num_classes=num_classes, mode=mode,
+                )[0]
+
+            return jax.vmap(one)(imgs, gts, keys)
+
+        # jitted ONCE (params as arguments, reused across all batches)
+        self._translate_jit = jax.jit(_translate_many)
+        self._model_args = (uparams, seg_vars, gvars)
 
         def translate_batch(items):
             # items: list of (image01 (H,W,3) np, labelids (HR,HR) np, seed)
-            jax_ = jax
             n = len(items)
             imgs = np.zeros((self.batch, self.size, self.size, 3), np.float32)
             gts = np.zeros((self.batch, self.hr, self.hr), np.int32)
-            for i, (im, lb, _seed) in enumerate(items):
+            seeds = [0] * self.batch
+            for i, (im, lb, seed) in enumerate(items):
                 imgs[i] = im * 2.0 - 1.0
                 gts[i] = lb
+                seeds[i] = int(seed)
+            keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
             out = np.asarray(
-                translate(jnp.asarray(imgs), jnp.asarray(gts),
-                          jax_.random.PRNGKey(items[0][2]))
+                self._translate_jit(*self._model_args, jnp.asarray(imgs),
+                                    jnp.asarray(gts), keys)
             )
             return [out[i] for i in range(n)]
 
@@ -138,21 +167,38 @@ class TranslationService:
             translate_batch, max_batch=batch, max_wait_ms=max_wait_ms
         )
 
-        def sample_batch(items):
-            # items: list of (steps, seed)
-            n = len(items)
-            sample_steps = items[0][0]
-
-            def run(p, k):
+        def _sample_many(p, keys, sample_steps):
+            def one(k):
                 fn = lambda x, t: unet.apply({"params": p}, x, t)
                 return ddpm_sample(
-                    fn, sched, k, (self.batch, self.size, self.size, 3),
+                    fn, sched, k, (1, self.size, self.size, 3),
                     num_steps=sample_steps,
-                )
+                )[0]
 
-            out = np.asarray(jax.jit(run)(uparams, jax.random.PRNGKey(items[0][1])))
-            out = (out + 1.0) / 2.0
-            return [out[i] for i in range(n)]
+            return jax.vmap(one)(keys)
+
+        # jitted ONCE with `steps` static: repeated requests with the same
+        # value hit the executable cache instead of re-tracing per batch
+        self._sample_jit = jax.jit(_sample_many, static_argnums=2)
+        self._uparams = uparams
+
+        def sample_batch(items):
+            # items: list of (steps, seed); group by requested steps so every
+            # request runs the step count it asked for (one compiled program
+            # per distinct steps value, padded to the static batch width)
+            n = len(items)
+            outputs = [None] * n
+            groups: dict = {}
+            for idx, (st, seed) in enumerate(items):
+                groups.setdefault(int(st), []).append((idx, int(seed)))
+            for st, members in groups.items():
+                seeds = [s for _, s in members] + [0] * (self.batch - len(members))
+                keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+                out = np.asarray(self._sample_jit(self._uparams, keys, st))
+                out = (out + 1.0) / 2.0
+                for (idx, _), o in zip(members, out):
+                    outputs[idx] = o
+            return outputs
 
         self._sample_batcher = MicroBatcher(
             sample_batch, max_batch=batch, max_wait_ms=max_wait_ms

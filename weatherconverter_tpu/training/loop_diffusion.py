@@ -167,7 +167,7 @@ def train(
                 "epoch": epoch,
                 "epoch/loss": epoch_loss / max(nb, 1),
                 "epoch/sec": dt,
-                "epoch/img_per_sec": nb * tr.batch_size / max(dt, 1e-9),
+                "epoch/img_per_sec": nb * global_batch / max(dt, 1e-9),
             },
             step=global_step,
         )

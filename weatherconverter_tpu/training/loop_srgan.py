@@ -172,7 +172,7 @@ def train(
                 "phase": phase,
                 "epoch/g_loss": ep_g / max(nb, 1),
                 "epoch/d_loss": ep_d / max(nb, 1),
-                "epoch/img_per_sec": nb * tr.batch_size / max(dt, 1e-9),
+                "epoch/img_per_sec": nb * global_batch / max(dt, 1e-9),
             },
             step=global_step,
         )
