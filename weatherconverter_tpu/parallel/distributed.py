@@ -53,6 +53,23 @@ def maybe_initialize_distributed() -> bool:
     return True
 
 
+def global_batch_from_local(mesh, local_batch):
+    """Assemble a globally-sharded batch from THIS process's local shard —
+    the multi-host analog of sharding.shard_batch: each host contributes
+    its local examples and the result is one global jax.Array sharded over
+    the mesh's data axis (per-host data loading, the standard multi-host
+    input pipeline)."""
+    import jax
+    import numpy as np
+
+    from weatherconverter_tpu.parallel.sharding import data_sharding
+
+    local = np.asarray(local_batch)
+    sharding = data_sharding(mesh, local.ndim)
+    global_shape = (local.shape[0] * jax.process_count(),) + tuple(local.shape[1:])
+    return jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+
 def process_count() -> int:
     import jax
 
