@@ -46,7 +46,10 @@ def parse_args():
     p.add_argument(
         "--mode",
         default="translate",
-        choices=["translate", "translate-alternate", "sample", "train", "seg-infer"],
+        choices=[
+            "translate", "translate-alternate", "translate-ddim",
+            "sample", "train", "seg-infer",
+        ],
     )
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument(
@@ -190,8 +193,11 @@ def main():
         }))
         return
 
-    # --- translate (headline) / translate-alternate ---
-    from weatherconverter_tpu.guidance.translate import sample_with_sgg
+    # --- translate (headline) / translate-alternate / translate-ddim ---
+    from weatherconverter_tpu.guidance.translate import (
+        sample_with_sgg,
+        sample_with_sgg_ddim,
+    )
     from weatherconverter_tpu.models.factory import make_seg_model
     from weatherconverter_tpu.models.srgan import Generator
 
@@ -203,6 +209,39 @@ def main():
     gvars = jax.jit(gen.init)(jax.random.PRNGKey(4), jnp.zeros((1, H, H, 3)))
 
     gt = jax.random.randint(jax.random.PRNGKey(6), (B, HR, HR), 0, 19)
+
+    if args.mode == "translate-ddim":
+        # fast-serving extension: full-quality-budget DDIM subsequence,
+        # 50 guided steps by default (--steps to override)
+        ddim_steps = 50 if args.steps == 1000 else args.steps
+
+        def run(up, sv, gv, g, k):
+            k1, k2 = jax.random.split(k)
+            inp = jax.random.normal(k1, (B, H, H, 3)) * 0.2
+            return sample_with_sgg_ddim(
+                lambda xt, tt: unet.apply({"params": up}, xt, tt), sched,
+                lambda img: seg.apply(sv, img), lambda img: gen.apply(gv, img),
+                inp, g, k2, lam=60.0, num_steps=ddim_steps,
+                num_classes=19, guidance_style="gsg",
+            )
+
+        f = jax.jit(run)
+        force(f(uparams, seg_vars, gvars, gt, jax.random.PRNGKey(7)))
+        times = []
+        for i in range(args.repeats):
+            k = jax.random.PRNGKey(8 + i)
+            force(k)
+            t0 = time.perf_counter()
+            force(f(uparams, seg_vars, gvars, gt, k))
+            times.append(time.perf_counter() - t0)
+        value = B * 60.0 / min(times)
+        print(json.dumps({
+            "metric": f"guided_{HR}px_{ddim_steps}step_ddim_translations_per_min_per_chip",
+            "value": round(value, 3), "unit": "translations/min/chip",
+            "vs_baseline": round(value / 20.0, 3),
+        }))
+        return
+
     style = "alternate" if args.mode == "translate-alternate" else "gsg"
     bench_steps = steps if style == "gsg" else max(steps // 10, 2)
 

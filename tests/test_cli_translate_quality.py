@@ -101,3 +101,22 @@ def test_cli_super_resolve(tmp_path):
     assert rc == 0
     sr = Image.open(out)
     assert sr.size == (48, 40)  # 2x of (24, 20) in PIL (W, H) order
+
+
+def test_cli_translate_ddim(tmp_path):
+    """`translate --sampler ddim --steps 4`: the fast guided path through
+    the CLI."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TINY_YAML)
+    img = tmp_path / "in.png"
+    lbl = tmp_path / "lbl.png"
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(img)
+    Image.fromarray(rng.randint(0, 5, (32, 32), dtype=np.uint8)).save(lbl)
+    out = tmp_path / "out.png"
+    rc = main([
+        "translate", "--config", str(cfg), "--image", str(img),
+        "--label", str(lbl), "--sampler", "ddim", "--steps", "4",
+        "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()

@@ -191,3 +191,57 @@ def test_lcg_chunk_width_invariant():
     ]
     np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[2]), atol=1e-5, rtol=1e-5)
+
+
+def test_ddim_guided_translate_fast_path():
+    """sample_with_sgg_ddim: few-step guided translation (framework
+    extension — the reference can only run its full-length DDPM chain).
+    Checks output range/shape, that guidance has an effect, and that both
+    guidance schedules run."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherconverter_tpu.core.config import UnetModelConfig
+    from weatherconverter_tpu.diffusion.schedule import linear_schedule
+    from weatherconverter_tpu.guidance.translate import sample_with_sgg_ddim
+    from weatherconverter_tpu.models.factory import make_seg_model
+    from weatherconverter_tpu.models.srgan import Generator
+    from weatherconverter_tpu.models.unet import Unet
+
+    H, SR, C = 16, 2, 5
+    HR = H * SR
+    ucfg = UnetModelConfig(
+        im_size=H, down_channels=[8, 16, 24], mid_channels=[24, 24, 16],
+        down_sample=[True, False], time_emb_dim=16, num_down_layers=1,
+        num_mid_layers=1, num_up_layers=1, num_heads=2, attn_resolutions=[8],
+    )
+    unet = Unet(config=ucfg, fused=False)
+    sched = linear_schedule(40)
+    up = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, H, H, 3)),
+                   jnp.zeros((1,), jnp.int32))["params"]
+    seg = make_seg_model("deeplabv3_resnet18", num_classes=C, train=False)
+    sv = seg.init(jax.random.PRNGKey(1), jnp.zeros((1, HR, HR, 3)))
+    gen = Generator(num_channels=8, num_blocks=1, upscale_factor=SR)
+    gv = gen.init(jax.random.PRNGKey(2), jnp.zeros((1, H, H, 3)))
+    gt = jax.random.randint(jax.random.PRNGKey(3), (2, HR, HR), 0, C)
+    inp = jax.random.normal(jax.random.PRNGKey(4), (2, H, H, 3)) * 0.2
+
+    def run(lam, style, eta=0.0):
+        fn = jax.jit(lambda: sample_with_sgg_ddim(
+            lambda x, t: unet.apply({"params": up}, x, t), sched,
+            lambda x: seg.apply(sv, x), lambda x: gen.apply(gv, x),
+            inp, gt, jax.random.PRNGKey(5), lam=lam, num_steps=5,
+            eta=eta, num_classes=C, guidance_style=style,
+        ))
+        return fn()
+
+    out = run(10.0, "gsg")
+    assert out.shape == (2, HR, HR, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+    out0 = run(0.0, "gsg")
+    assert float(jnp.max(jnp.abs(out - out0))) > 1e-6, "guidance had no effect"
+
+    out_alt = run(10.0, "alternate", eta=1.0)
+    assert bool(jnp.all(jnp.isfinite(out_alt)))

@@ -201,11 +201,28 @@ def run_translate(args) -> int:
     lbl = Image.open(args.label).resize((hr, hr), Image.NEAREST)
     gt = encode_target(np.asarray(lbl, dtype=np.uint8))
 
-    translate = make_translate_fn(
-        unet, uparams, sched, seg, seg_vars, gen, gvars,
-        lam=args.lam, num_steps=args.steps, mode=args.mode,
-        num_classes=cfg.seg.model.num_classes,
-    )
+    if getattr(args, "sampler", "ddpm") == "ddim":
+        from weatherconverter_tpu.guidance.translate import sample_with_sgg_ddim
+
+        @jax.jit
+        def _ddim_translate(up, sv, gv, i_, g_, k_):
+            return sample_with_sgg_ddim(
+                lambda x, t: unet.apply({"params": up}, x, t), sched,
+                lambda x: seg.apply(sv, x), lambda x: gen.apply(gv, x),
+                i_, g_, k_, lam=args.lam, num_steps=args.steps,
+                span_t=args.span_t, eta=args.eta,
+                num_classes=cfg.seg.model.num_classes, mode=args.mode,
+            )
+
+        translate = lambda i_, g_, k_: _ddim_translate(
+            uparams, seg_vars, gvars, i_, g_, k_
+        )
+    else:
+        translate = make_translate_fn(
+            unet, uparams, sched, seg, seg_vars, gen, gvars,
+            lam=args.lam, num_steps=args.steps, mode=args.mode,
+            num_classes=cfg.seg.model.num_classes,
+        )
     out = translate(jnp.asarray(img)[None], jnp.asarray(gt)[None], k4)
     save_images(out, args.out, nrow=1, from_range="unit")
     print(f"saved {args.out}")

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--lambda", dest="lam", type=float, default=60.0)
     tr.add_argument("--steps", type=int, default=500)
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
+                    help="ddim = few-step guided translation (framework extension)")
+    tr.add_argument("--eta", type=float, default=0.0, help="DDIM noise scale")
+    tr.add_argument("--span-t", type=int, default=None,
+                    help="diffusion span the DDIM taus stride (default: full T)")
 
     iv = sub.add_parser("infer-seg", help="segmentation inference + gradient probe")
     iv.add_argument("--config", default=None)

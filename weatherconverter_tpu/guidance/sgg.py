@@ -120,16 +120,23 @@ def apply_gsg(
     lam: float,
     noise: jax.Array | None = None,
     mode: str = "fixed",
+    noise_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Global guidance (reference: sgg.py:9-24): one seg grad on the full
     image; mu_hat = mu + lambda*sigma*||grad||; x_t = mu_hat (+ sigma or
     + sigma*z per mode). The pool factor is derived from the HR/latent
-    resolution ratio (the reference hardcodes 4 for 512/128, sgg.py:18)."""
+    resolution ratio (the reference hardcodes 4 for 512/128, sgg.py:18).
+
+    `noise_scale` decouples the ancestral-noise std from the guidance scale
+    (they coincide in the reference's DDPM chain; a DDIM subsequence uses
+    its own sigma_ddim for noise while keeping the DDPM posterior sigma as
+    the guidance scale — guidance/translate.py sample_with_sgg_ddim)."""
     mag = guidance_field(seg_fn, sr_xt, gt, pool=sr_xt.shape[1] // mu.shape[1])
     mu_hat = mu + lam * sigma * mag
+    ns = sigma if noise_scale is None else noise_scale
     if mode == "reference" or noise is None:
-        return mu_hat + sigma
-    return mu_hat + sigma * noise
+        return mu_hat + ns
+    return mu_hat + ns * noise
 
 
 def apply_lcg(
@@ -143,6 +150,7 @@ def apply_lcg(
     noise: jax.Array | None = None,
     mode: str = "fixed",
     class_chunk: int = 4,
+    noise_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Local class-wise guidance (reference: sgg.py:27-60): for each class c,
     mask image+label by m_c, compute the guidance field, form x_t^c, and
@@ -184,10 +192,11 @@ def apply_lcg(
     mcs = mcs.reshape((num_padded,) + mcs.shape[2:])[:num_classes]
     # mags: (C, B, h, w, 1); mcs: (C, B, H, W)
     mu_hat_c = mu[None] + lam * sigma[None] * mags
+    ns = sigma if noise_scale is None else noise_scale
     if mode == "reference" or noise is None:
-        xt_c = mu_hat_c + sigma[None]
+        xt_c = mu_hat_c + ns[None]
     else:
-        xt_c = mu_hat_c + sigma[None] * noise[None]
+        xt_c = mu_hat_c + ns[None] * noise[None]
 
     h, w = mu.shape[1], mu.shape[2]
     mc_small = resize_nearest(mcs.reshape((-1,) + mcs.shape[2:] + (1,)), (h, w))
@@ -196,6 +205,6 @@ def apply_lcg(
 
     if mode != "reference":
         covered = jnp.clip(jnp.sum(mc_small, axis=0), 0.0, 1.0)
-        base = mu + (sigma * noise if noise is not None else sigma)
+        base = mu + (ns * noise if noise is not None else ns)
         xt = xt + (1.0 - covered) * base
     return xt

@@ -40,6 +40,7 @@ from weatherconverter_tpu.diffusion.schedule import (
     _bcast,
     posterior_mean,
     posterior_sigma,
+    predict_x0,
     q_sample,
 )
 from weatherconverter_tpu.guidance.sgg import apply_gsg, apply_lcg
@@ -161,6 +162,111 @@ def sample_with_sgg(
 
     (x0, _), _ = jax.lax.scan(body, (xt, key), ts)
     return sr_fn(x0)
+
+
+def sample_with_sgg_ddim(
+    diff_fn: ApplyFn,
+    sched: NoiseSchedule,
+    seg_fn: SegFn,
+    sr_fn: SRFn,
+    input_128: jax.Array,
+    gt: jax.Array,
+    key: jax.Array,
+    lam: float = 60.0,
+    num_steps: int = 50,
+    span_t: Optional[int] = None,
+    eta: float = 0.0,
+    num_classes: int = 19,
+    mode: str = "fixed",
+    normalize_seg_input: bool = False,
+    guidance_style: str = "alternate",
+) -> jax.Array:
+    """Fast guided translation on a strided DDIM subsequence — a framework
+    extension the reference cannot do (its chain is the full N-step DDPM
+    loop, translation.py:67-90): `num_steps` guided steps (10-50 typical)
+    instead of 500-1000, at the same per-step cost, for serving-latency
+    translation.
+
+    Semantics: `span_t` (default: the schedule's full T) is the diffusion
+    span; taus stride it evenly. Per step the DDIM update
+        x_prev = sqrt(acp_prev) x0_pred + sqrt(1-acp_prev-sigma_ddim^2) eps
+                 + sigma_ddim z        (eta scales sigma_ddim; 0 = ODE)
+    takes the role of the DDPM posterior mean, and the semantic-gradient
+    term keeps the reference's magnitude scale: lambda * sigma_t * ||grad||
+    with sigma_t the DDPM POSTERIOR std at t (the scale the reference's
+    lambda=60 was tuned against, sgg.py:13-14) — while the ancestral noise
+    uses sigma_ddim (see apply_gsg/apply_lcg `noise_scale`). The guidance
+    schedule (alternate / gsg / lcg) matches sample_with_sgg.
+    """
+    if normalize_seg_input:
+        raw_seg_fn = seg_fn
+        seg_fn = lambda x: raw_seg_fn(normalize(x, IMAGENET_MEAN, IMAGENET_STD))
+
+    span = sched.T if span_t is None else span_t
+    taus = jnp.linspace(0, span - 1, num_steps).round().astype(jnp.int32)[::-1]
+    tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+    steps = jnp.arange(num_steps - 1, -1, -1)
+
+    key, nkey = jax.random.split(key)
+    noise0 = jax.random.normal(nkey, input_128.shape, dtype=input_128.dtype)
+    t0 = jnp.full((input_128.shape[0],), int(span) - 1, dtype=jnp.int32)
+    xt = q_sample(sched, input_128, noise0, t0)
+
+    def body(carry, scan_in):
+        xt, key = carry
+        t, tp, i = scan_in
+        key, zkey = jax.random.split(key)
+        eps = diff_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
+        acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
+        x0 = jnp.clip(predict_x0(sched, xt, eps, t), -1.0, 1.0)
+        acp_t = sched.alpha_cum_prod[t]
+        sigma_ddim = _bcast(
+            eta
+            * jnp.sqrt((1 - acp_p) / (1 - acp_t))
+            * jnp.sqrt(jnp.maximum(1 - acp_t / acp_p, 0.0)),
+            xt,
+        )
+        mean = (
+            jnp.sqrt(acp_p) * x0
+            + jnp.sqrt(jnp.maximum(1.0 - acp_p - sigma_ddim**2, 0.0)) * eps
+        )
+        guide_scale = _bcast(posterior_sigma(sched, t, "posterior"), xt)
+        z = jax.random.normal(zkey, xt.shape, dtype=xt.dtype)
+        sr_xt = sr_fn(xt)
+
+        def lcg(_):
+            return apply_lcg(
+                seg_fn, mean, guide_scale, sr_xt, gt, lam,
+                num_classes=num_classes, noise=z, mode=mode,
+                noise_scale=sigma_ddim,
+            )
+
+        def gsg(_):
+            return apply_gsg(
+                seg_fn, mean, guide_scale, sr_xt, gt, lam, noise=z, mode=mode,
+                noise_scale=sigma_ddim,
+            )
+
+        def guided(_):
+            if guidance_style == "alternate":
+                return jax.lax.cond(jnp.mod(i, 2) == 0, lcg, gsg, operand=None)
+            if guidance_style == "gsg":
+                return gsg(None)
+            if guidance_style == "lcg":
+                return lcg(None)
+            raise ValueError(f"unknown guidance_style {guidance_style!r}")
+
+        unguided_next = mean + jnp.where(i > 0, sigma_ddim * z, 0.0)
+        if guidance_style == "none" or mode == "reference":
+            # reference mode has no DDIM analog in the original code; treat
+            # it as guidance-discarded like translation.py:90 does
+            xt_next = unguided_next
+        else:
+            xt_next = jnp.where((i != 0), guided(None), unguided_next)
+        return (xt_next, key), None
+
+    (x0_final, _), _ = jax.lax.scan(body, (xt, key), (taus, tau_prev, steps))
+    return sr_fn(x0_final)
 
 
 def make_translate_fn(
