@@ -133,3 +133,51 @@ def test_http_server_end_to_end(tmp_path):
     finally:
         httpd.shutdown()
         service.close()
+
+
+def test_http_server_ddim_sampler_and_seed_determinism(tmp_path):
+    """serve --sampler ddim: the fast guided path; plus per-request seed
+    determinism — the same seed returns the same image even when co-batched
+    with different traffic (per-item PRNG keys, review round 3)."""
+    from weatherconverter_tpu.core.config import load_translation_config
+    from weatherconverter_tpu.serving.server import TranslationService, serve
+
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(TINY_YAML)
+    cfg = load_translation_config(str(cfg_path))
+    service = TranslationService(
+        cfg, batch=2, steps=3, max_wait_ms=30.0, sampler="ddim"
+    )
+    httpd = serve(service, port=0, block=False)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rng = np.random.RandomState(0)
+        img = _b64_png(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8))
+        lbl = _b64_png(rng.randint(0, 34, (40, 40), dtype=np.uint8))
+
+        def post(payload):
+            req = urllib.request.Request(
+                base + "/v1/translate", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.load(r)["image"]
+
+        # same seed twice, co-batched with a different-seed request the
+        # second time: the seed-7 result must be identical both times
+        first = post({"image": img, "label": lbl, "seed": 7})
+
+        results = {}
+        def worker(seed):
+            results[seed] = post({"image": img, "label": lbl, "seed": seed})
+        threads = [threading.Thread(target=worker, args=(s,)) for s in (7, 13)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results[7] == first, "seed-7 result changed with co-batched traffic"
+        assert results[13] != first, "different seeds must differ"
+    finally:
+        httpd.shutdown()
+        service.close()

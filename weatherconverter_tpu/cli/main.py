@@ -98,6 +98,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=8700)
     sv.add_argument("--batch", type=int, default=4, help="compiled serving batch")
     sv.add_argument("--steps", type=int, default=None)
+    sv.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
+                    help="ddim = few-step fast translation for serving latency")
     sv.add_argument("--max-wait-ms", type=float, default=25.0)
     sv.add_argument("--ddpm-checkpoint", default=None)
     sv.add_argument("--seg-checkpoint", default=None)
@@ -216,8 +218,12 @@ def main(argv=None) -> int:
         service = TranslationService(
             cfg, args.ddpm_checkpoint, args.seg_checkpoint, args.srgan_checkpoint,
             batch=args.batch, steps=args.steps, max_wait_ms=args.max_wait_ms,
+            sampler=args.sampler,
         )
-        print(f"serving on :{args.port} (batch={args.batch}, steps={service.steps})")
+        print(
+            f"serving on :{args.port} (batch={args.batch}, "
+            f"steps={service.steps}, sampler={args.sampler})"
+        )
         serve(service, args.port)
         return 0
     if args.command == "visualize":

@@ -65,6 +65,7 @@ class TranslationService:
         batch: int = 4,
         steps: Optional[int] = None,
         max_wait_ms: float = 25.0,
+        sampler: str = "ddpm",
     ):
         import jax
         import jax.numpy as jnp
@@ -121,15 +122,32 @@ class TranslationService:
         # per-item keys, so a request is deterministic regardless of what
         # other traffic lands in the same micro-batch (review round 3: the
         # old code used items[0]'s seed/steps for the whole batch).
-        from weatherconverter_tpu.guidance.translate import sample_with_sgg
+        from weatherconverter_tpu.guidance.translate import (
+            sample_with_sgg,
+            sample_with_sgg_ddim,
+        )
 
         lam = cfg.guidance.lambda_
         num_classes = cfg.seg.model.num_classes
         mode = cfg.guidance.mode
         translate_steps = self.steps
+        if sampler == "ddim" and steps is None:
+            # fast-serving default: 50-step DDIM subsequence (~20x lower
+            # latency than the full chain at the same per-step cost)
+            translate_steps = self.steps = 50
 
         def _translate_many(dp, sv, gv, imgs, gts, keys):
             def one(im, g, k):
+                if sampler == "ddim":
+                    return sample_with_sgg_ddim(
+                        lambda x, t: unet.apply({"params": dp}, x, t),
+                        sched,
+                        lambda x: seg.apply(sv, x),
+                        lambda x: gen.apply(gv, x),
+                        im[None], g[None], k,
+                        lam=lam, num_steps=translate_steps,
+                        num_classes=num_classes, mode=mode,
+                    )[0]
                 return sample_with_sgg(
                     lambda x, t: unet.apply({"params": dp}, x, t),
                     sched,
