@@ -302,3 +302,79 @@ def test_apply_affine_identity_and_gallery():
     assert g["photometric"].shape == (5, 16, 16, 3)
     assert g["geometric"].shape == (5, 16, 16, 3)
     assert np.isfinite(np.asarray(g["geometric"])).all()
+
+
+def test_loader_surfaces_producer_errors():
+    """A decode failure in the producer must raise in the training thread,
+    not hang the q.get() forever (review round 3)."""
+    from weatherconverter_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise OSError("truncated image")
+            return np.zeros((4, 4, 3), np.uint8)
+
+    loader = DataLoader(Bad(), batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(OSError, match="truncated image"):
+        for _ in loader:
+            pass
+
+
+def test_loader_break_midepoch_does_not_leak_producer():
+    """Abandoning iteration (break) must let the producer thread exit even
+    when it is parked on a full prefetch queue (review round 3)."""
+    import threading
+    import time as _time
+
+    from weatherconverter_tpu.data.loader import DataLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.zeros((4, 4, 3), np.uint8)
+
+    before = threading.active_count()
+    loader = DataLoader(Slow(), batch_size=4, shuffle=False, num_workers=2, prefetch=2)
+    for _ in loader:
+        break  # abandon with the queue full
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_add_gaussian_noise_mean_is_additive():
+    """Reference AddGaussianNoise draws np.random.normal(mean, std): the
+    mean is an additive brightness offset, NOT scaled by std (review
+    round 3 caught `mean * std`)."""
+    import jax
+
+    from weatherconverter_tpu.data.transforms import add_gaussian_noise
+
+    imgs = jnp.full((4, 16, 16, 3), 0.5)
+    # std_range (0, 0) -> noise collapses to the pure mean offset
+    out = add_gaussian_noise(jax.random.PRNGKey(0), imgs, mean=0.1, std_range=(0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(out), 0.6, atol=1e-6)
+
+
+def test_seg_dataset_rejects_char_explosion(tmp_path):
+    """SegPairedDataset(weather='rain') must mean the 'rain' condition, not
+    the characters r/a/i/n (review round 3)."""
+    import os
+
+    from weatherconverter_tpu.data.datasets import SegPairedDataset
+    from PIL import Image
+
+    rgb = tmp_path / "rgb_anon" / "rain" / "train" / "seq"
+    gt = tmp_path / "gt" / "rain" / "train" / "seq"
+    os.makedirs(rgb), os.makedirs(gt)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(rgb / "f_rgb_anon.png")
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(gt / "f_gt_labelIds.png")
+    ds = SegPairedDataset(str(tmp_path), weather="rain", resize_hw=(8, 8))
+    assert len(ds) == 1

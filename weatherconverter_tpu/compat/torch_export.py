@@ -250,27 +250,7 @@ def export_deeplab_resnet(
                 conv_bn(f"{t}.downsample.0", f"{t}.downsample.1",
                         bb_p[name]["downsample"], bb_s[name]["downsample"])
 
-    hp, hs = params["head"], stats["head"]
-    is_plus = "project" in hp
-    aspp_prefix = "classifier.aspp" if is_plus else "classifier.classifier.0"
-    conv_bn(f"{aspp_prefix}.convs.0.0", f"{aspp_prefix}.convs.0.1",
-            hp["aspp"]["conv1x1"], hs["aspp"]["conv1x1"])
-    for j in range(3):
-        conv_bn(f"{aspp_prefix}.convs.{j+1}.0", f"{aspp_prefix}.convs.{j+1}.1",
-                hp["aspp"][f"atrous{j}"], hs["aspp"][f"atrous{j}"])
-    conv_bn(f"{aspp_prefix}.convs.4.1", f"{aspp_prefix}.convs.4.2",
-            hp["aspp"]["pool_conv"], hs["aspp"]["pool_conv"])
-    conv_bn(f"{aspp_prefix}.project.0", f"{aspp_prefix}.project.1",
-            hp["aspp"]["project"], hs["aspp"]["project"])
-    if is_plus:
-        conv_bn("classifier.project.0", "classifier.project.1", hp["project"], hs["project"])
-        conv_bn("classifier.classifier.0", "classifier.classifier.1",
-                hp["classifier0"], hs["classifier0"])
-        _put_conv(sd, "classifier.classifier.3", hp["classifier1"])
-    else:
-        conv_bn("classifier.classifier.1", "classifier.classifier.2",
-                hp["classifier0"], hs["classifier0"])
-        _put_conv(sd, "classifier.classifier.4", hp["classifier1"])
+    _export_deeplab_head(sd, params["head"], stats["head"])
     return sd
 
 

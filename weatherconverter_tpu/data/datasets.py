@@ -123,16 +123,15 @@ class DiffusionImageDataset:
             return arr
         return load_image_resized(self.img_paths[idx], self.resize_to, self.out_wh)
 
-    def get_batch(self, indices) -> np.ndarray:
+    def get_batch(self, indices):
         """Batch fast-path: one native call decodes all files on C++ threads
-        (data/native.py); falls back to per-item PIL."""
+        (data/native.py). Returns None when the native decoder is
+        unavailable so the DataLoader falls back to its Python worker POOL —
+        decoding serially here would bypass num_workers entirely."""
         from weatherconverter_tpu.data import native
 
         paths = [self.img_paths[i] for i in indices]
-        arr = native.decode_box_batch(paths, self.resize_to, self.out_wh)
-        if arr is not None:
-            return arr
-        return np.stack([self[i] for i in indices])
+        return native.decode_box_batch(paths, self.resize_to, self.out_wh)
 
 
 class SegPairedDataset:
@@ -156,6 +155,10 @@ class SegPairedDataset:
         self.resize_hw = resize_hw
         if weather == "all":
             conditions = ["fog", "night", "rain", "snow"]
+        elif isinstance(weather, str):
+            # a bare condition name; list('rain') would explode into chars
+            # and silently discover zero pairs
+            conditions = [weather]
         else:
             conditions = list(weather)
 

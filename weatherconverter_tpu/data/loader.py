@@ -24,6 +24,13 @@ def _stack(samples):
     return np.stack(samples)
 
 
+class _LoaderError:
+    """Producer-thread exception carrier (unambiguous vs tuple batches)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DataLoader:
     """Shuffling, batching, prefetching iterator over an indexable dataset.
 
@@ -75,22 +82,38 @@ class DataLoader:
 
         get_batch = getattr(self.dataset, "get_batch", None)
 
+        def put(item) -> bool:
+            # bounded-wait put so an abandoned consumer (break mid-epoch)
+            # can always wake the producer via `stop` instead of leaking the
+            # thread parked in a blocking q.put forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            if get_batch is not None:
-                # dataset-provided batch fast-path (native C++ decode pool)
-                for bidx in batches:
-                    if stop.is_set():
-                        return
-                    q.put(get_batch(bidx))
-                q.put(None)
-                return
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for bidx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, bidx))
-                    q.put(_stack(samples))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for bidx in batches:
+                        if stop.is_set():
+                            return
+                        # dataset batch fast-path (native C++ decode pool);
+                        # None = native unavailable -> decode THIS batch on
+                        # the worker pool instead of serially
+                        batch = get_batch(bidx) if get_batch is not None else None
+                        if batch is None:
+                            samples = list(pool.map(self.dataset.__getitem__, bidx))
+                            batch = _stack(samples)
+                        if not put(batch):
+                            return
+                put(None)
+            except BaseException as e:
+                # surface decode errors in the consumer thread — a dead
+                # producer with no sentinel would hang training silently
+                put(_LoaderError(e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -99,9 +122,17 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _LoaderError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()
+            # drain so a producer blocked in put() exits promptly
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.05)
 
 
 def infinite_batches(loader: DataLoader) -> Iterator:

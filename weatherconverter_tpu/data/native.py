@@ -44,6 +44,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    try:
+        _bind_symbols(lib)
+    except AttributeError:
+        # stale .so from a build predating some symbols (auto-build only
+        # runs when the file is MISSING): honor the graceful-fallback
+        # contract instead of raising out of the loader
+        return None
+    _LIB = lib
+    return lib
+
+
+def _bind_symbols(lib: ctypes.CDLL) -> None:
     lib.wc_decode_box.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
@@ -64,8 +76,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
-    _LIB = lib
-    return lib
 
 
 def available() -> bool:

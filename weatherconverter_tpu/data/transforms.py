@@ -52,6 +52,13 @@ def random_crop(
     ExtRandomCrop). images (B, H, W, C); labels (B, H, W) share offsets."""
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     th, tw = size
+    if th > h or tw > w:
+        raise ValueError(
+            f"random_crop {size} exceeds image extent {(h, w)} — "
+            "jax.random.randint with maxval<=minval is undefined and "
+            "dynamic_slice would silently clamp; resize the source larger "
+            "or pad first (torchvision RandomCrop raises here too)"
+        )
     ky, kx = jax.random.split(key)
     ys = jax.random.randint(ky, (b,), 0, h - th + 1)
     xs = jax.random.randint(kx, (b,), 0, w - tw + 1)
@@ -139,13 +146,15 @@ def add_gaussian_noise(
     std_range: tuple[float, float] = (0.0, 0.05),
 ) -> jax.Array:
     """AddGaussianNoise parity (ext_transforms.py:21-54): per-example std
-    drawn from std_range, noise added in [0,1] space, clipped."""
+    drawn from std_range, noise ~ N(mean, std) added in [0,1] space, clipped
+    (the reference draws np.random.normal(mean, std) — the mean is an
+    ADDITIVE brightness offset, not scaled by std)."""
     b = images.shape[0]
     ks, kn = jax.random.split(key)
     std = jax.random.uniform(
         ks, (b, 1, 1, 1), minval=std_range[0], maxval=std_range[1]
     )
-    noise = jax.random.normal(kn, images.shape) * std + mean * std
+    noise = jax.random.normal(kn, images.shape) * std + mean
     return jnp.clip(images + noise, 0.0, 1.0)
 
 
@@ -404,12 +413,15 @@ def pad_to_multiple(
     labels: Optional[jax.Array] = None,
     diviser: int = 32,
     img_fill: float = 0.0,
-    lbl_fill: int = 0,
+    lbl_fill: int = 255,
 ):
     """ExtPad (reference ext_transforms.py:355-366): centered zero-pad of
     both planes up to the next multiple of `diviser`. (The reference
     hardcodes 32 in the body regardless of its `diviser` argument; this one
-    honors the argument.)"""
+    honors the argument.) lbl_fill defaults to the 255 ignore id: labels are
+    train-ids at transform time in this pipeline (see random_rotation's
+    note) and padding fabricated border pixels as class 0 ('road') would
+    corrupt the CE loss."""
     h, w = images.shape[1], images.shape[2]
     ph = 0 if h % diviser == 0 else (h // diviser + 1) * diviser - h
     pw = 0 if w % diviser == 0 else (w // diviser + 1) * diviser - w
