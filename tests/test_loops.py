@@ -199,3 +199,36 @@ def test_srgan_resume_restores_epoch_and_phase(tmp_path):
     assert int(gs2.epoch) == 2
     assert int(gs2.step) == steps_after_phase1 + 2  # one more 2-step epoch
     assert int(ds2.step) == 2  # discriminator trained only in the gan epoch
+
+
+def test_augmented_train_step_updates_ema(tmp_path):
+    """The loop's augmented step must maintain the EMA shadow exactly like
+    the canonical train_step — a hand-copied body dropped it, leaving every
+    checkpoint's EMA frozen at random init while samplers PREFER the EMA
+    params (review round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherconverter_tpu.core.config import DiffusionConfig
+    from weatherconverter_tpu.training import loop_diffusion
+
+    cfg = DiffusionConfig(**{
+        "model": {
+            "im_size": 16, "down_channels": [8, 16, 24],
+            "mid_channels": [24, 24, 16], "down_sample": [True, False],
+            "time_emb_dim": 16, "num_down_layers": 1, "num_mid_layers": 1,
+            "num_up_layers": 1, "num_heads": 2, "attn_resolutions": [8],
+        },
+        "diffusion": {"num_timesteps": 20},
+        "training": {"epochs": 1, "batch_size": 4, "log_interval": 1,
+                     "save_interval": 10, "ema_decay": 0.5},
+        "folders": {"output": str(tmp_path / "out")},
+    })
+    state = loop_diffusion.train(cfg, max_steps=3, dataset=FakeImages())
+    assert state.ema is not None
+    # with decay 0.5 over 3 steps the EMA tracks the moving params: it must
+    # have left the init point (and differ from the live params)
+    leaves_e = jax.tree_util.tree_leaves(state.ema.params)
+    leaves_p = jax.tree_util.tree_leaves(state.params)
+    moved = sum(float(jnp.sum(jnp.abs(e - p))) for e, p in zip(leaves_e, leaves_p))
+    assert moved > 0.0, "EMA identical to live params (not a shadow)"

@@ -124,3 +124,52 @@ def test_sampler_is_jittable_single_compile():
     f = jax.jit(lambda key: ddpm_sample(zero_eps, sched, key, SHAPE))
     out = f(jax.random.PRNGKey(5))
     assert out.shape == SHAPE
+
+
+def test_ddpm_sample_strided_subsequence():
+    """num_steps < T strides the full span with the generalized ancestral
+    transition (a truncated chain started N(0,I) at the wrong marginal;
+    review round 3). Legacy refuses truncation outright."""
+    import pytest
+
+    from weatherconverter_tpu.diffusion.sampling import (
+        ddpm_sample,
+        ddpm_sample_legacy,
+    )
+    from weatherconverter_tpu.diffusion.schedule import linear_schedule
+
+    sched = linear_schedule(40)
+    fn = lambda xt, t: jnp.zeros_like(xt)  # eps-hat = 0 oracle
+    out = ddpm_sample(fn, sched, jax.random.PRNGKey(0), (2, 8, 8, 3), num_steps=10)
+    assert out.shape == (2, 8, 8, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # with eps=0, x0-pred = xt/sqrt(acp_t): the chain contracts toward the
+    # data manifold scale; the output must not blow up past the N(0,I) start
+    assert float(jnp.std(out)) < 3.0
+
+    with pytest.raises(ValueError, match="only meaningful at stride 1"):
+        ddpm_sample(fn, sched, jax.random.PRNGKey(0), (1, 8, 8, 3),
+                    num_steps=10, mode="beta")
+    # legacy strided subsequence: alpha-bar conditioning per tau + the
+    # generalized posterior transition
+    out_l = ddpm_sample_legacy(
+        lambda xt, cond: jnp.zeros_like(xt), sched, jax.random.PRNGKey(0),
+        (1, 8, 8, 3), num_steps=10,
+    )
+    assert out_l.shape == (1, 8, 8, 3)
+    assert bool(jnp.all(jnp.isfinite(out_l)))
+
+
+def test_ddpm_sample_trajectory_buffer():
+    """return_trajectory_every allocates ceil(S/k) frames, not S (the old
+    stack-then-stride held the full 1.5 GiB trajectory; review round 3)."""
+    from weatherconverter_tpu.diffusion.sampling import ddpm_sample
+    from weatherconverter_tpu.diffusion.schedule import linear_schedule
+
+    sched = linear_schedule(12)
+    fn = lambda xt, t: jnp.zeros_like(xt)
+    x0, traj = ddpm_sample(
+        fn, sched, jax.random.PRNGKey(0), (1, 8, 8, 3), return_trajectory_every=5
+    )
+    assert traj.shape == (3, 1, 8, 8, 3)  # ceil(12/5)
+    assert bool(jnp.all(jnp.isfinite(traj)))

@@ -58,26 +58,80 @@ def ddpm_sample(
     sigma*z for t > 0. Returns x0 in [-1, 1] (UNCLAMPED — the reference
     clamps at the PIL boundary, sample_ddpm.py:47; use `to_uint8` for that).
 
+    `num_steps < T` runs a STRIDED subsequence with the generalized
+    ancestral transition q(x_{tau_prev} | x_tau, x0-pred) — NOT a truncated
+    chain: starting N(0, I) at timestep num_steps-1 of the full schedule
+    would be the wrong marginal (caught in review), so the taus stride the
+    full [0, T) span exactly like ddim_sample's grid (eta=1 semantics,
+    without the DDIM path's x0 clipping, matching this sampler's math at
+    stride 1).
+
     With `return_trajectory_every = k > 0`, also returns every k-th
     intermediate (the reference's visualizer strips, visualizer.py:74-109).
+    Frames are written into a (ceil(S/k), ...) buffer INSIDE the scan — the
+    previous stack-everything-then-stride materialized the full S-step
+    trajectory (1.5 GiB at T=1000, B=8, 128px).
     """
-    T = num_steps if num_steps is not None else sched.T
+    T = sched.T
+    S = num_steps if num_steps is not None else T
     key, init_key = jax.random.split(key)
     xt = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
-    ts = jnp.arange(T - 1, -1, -1)
 
-    def body(carry, t):
-        xt, key = carry
+    strided = S != T
+    if strided and mode != "posterior":
+        raise ValueError(
+            f"strided ddpm_sample (num_steps={S} != T={T}) defines its own "
+            "subsequence posterior; variance mode {mode!r} is only "
+            "meaningful at stride 1"
+        )
+    if strided:
+        taus = jnp.linspace(0, T - 1, S).round().astype(jnp.int32)[::-1]
+        tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+    else:
+        taus = jnp.arange(T - 1, -1, -1)
+        tau_prev = taus - 1
+
+    k = int(return_trajectory_every)
+    n_frames = -(-S // k) if k else 0
+    buf0 = jnp.zeros((n_frames,) + tuple(shape), jnp.float32) if k else None
+
+    def step_fn(xt, eps, t, tp, noise):
+        if not strided:
+            return ddpm_step(sched, xt, eps, t, noise, mode=mode)
+        acp_t = sched.alpha_cum_prod[t]
+        acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
+        x0 = predict_x0(sched, xt, eps, t)
+        sigma2 = (1 - acp_p) / (1 - acp_t) * jnp.maximum(1 - acp_t / acp_p, 0.0)
+        mean = (
+            jnp.sqrt(acp_p) * x0
+            + jnp.sqrt(jnp.maximum(1.0 - acp_p - sigma2, 0.0)) * eps
+        )
+        return mean + jnp.where(tp >= 0, jnp.sqrt(sigma2) * noise, 0.0)
+
+    def body(carry, scan_in):
+        t, tp, i = scan_in
+        if k:
+            xt, key, buf = carry
+        else:
+            xt, key = carry
         key, nkey = jax.random.split(key)
         eps = apply_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
         noise = jax.random.normal(nkey, xt.shape, dtype=xt.dtype)
-        xt = ddpm_step(sched, xt, eps, t, noise, mode=mode)
-        out = xt if return_trajectory_every else None
-        return (xt, key), out
+        xt = step_fn(xt, eps, t, tp, noise)
+        if not k:
+            return (xt, key), None
+        idx = i // k
+        cur = jax.lax.dynamic_index_in_dim(buf, idx, 0, keepdims=False)
+        buf = jax.lax.dynamic_update_index_in_dim(
+            buf, jnp.where(i % k == 0, xt, cur), idx, 0
+        )
+        return (xt, key, buf), None
 
-    (x0, _), traj = jax.lax.scan(body, (xt, key), ts)
-    if return_trajectory_every:
-        return x0, traj[:: return_trajectory_every]
+    scan_in = (taus, tau_prev, jnp.arange(S))
+    if k:
+        (x0, _, traj), _ = jax.lax.scan(body, (xt, key, buf0), scan_in)
+        return x0, traj
+    (x0, _), _ = jax.lax.scan(body, (xt, key), scan_in)
     return x0
 
 
@@ -91,22 +145,47 @@ def ddpm_sample_legacy(
     """Legacy-checkpoint sampling loop (reference: sample_integrated.py:40-67):
     the model is conditioned on the scalar one_minus_cum_prod[t] (fed as an
     image-plane embedding inside LegacyUNet) and the reverse step uses
-    sigma^2 = beta_t (`sample_prev_timestep2`)."""
-    T = num_steps if num_steps is not None else sched.T
+    sigma^2 = beta_t (`sample_prev_timestep2`).
+
+    `num_steps < T` strides the full span like `ddpm_sample` (the
+    alpha-bar-plane conditioning is valid at any t; the transition uses the
+    generalized subsequence posterior since beta-variance has no strided
+    form) — NOT a truncated chain, which would start N(0, I) at the wrong
+    marginal."""
+    T = sched.T
+    S = num_steps if num_steps is not None else T
     key, init_key = jax.random.split(key)
     xt = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
-    ts = jnp.arange(T - 1, -1, -1)
+    strided = S != T
+    if strided:
+        taus = jnp.linspace(0, T - 1, S).round().astype(jnp.int32)[::-1]
+        tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+    else:
+        taus = jnp.arange(T - 1, -1, -1)
+        tau_prev = taus - 1
 
-    def body(carry, t):
+    def body(carry, tpair):
         xt, key = carry
+        t, tp = tpair
         key, nkey = jax.random.split(key)
         cond = jnp.full((xt.shape[0],), sched.one_minus_cum_prod[t], dtype=jnp.float32)
         eps = apply_fn(xt, cond)
         noise = jax.random.normal(nkey, xt.shape, dtype=xt.dtype)
-        xt = ddpm_step(sched, xt, eps, t, noise, mode="beta")
+        if not strided:
+            xt = ddpm_step(sched, xt, eps, t, noise, mode="beta")
+        else:
+            acp_t = sched.alpha_cum_prod[t]
+            acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
+            x0 = predict_x0(sched, xt, eps, t)
+            sigma2 = (1 - acp_p) / (1 - acp_t) * jnp.maximum(1 - acp_t / acp_p, 0.0)
+            mean = (
+                jnp.sqrt(acp_p) * x0
+                + jnp.sqrt(jnp.maximum(1.0 - acp_p - sigma2, 0.0)) * eps
+            )
+            xt = mean + jnp.where(tp >= 0, jnp.sqrt(sigma2) * noise, 0.0)
         return (xt, key), None
 
-    (x0, _), _ = jax.lax.scan(body, (xt, key), ts)
+    (x0, _), _ = jax.lax.scan(body, (xt, key), (taus, tau_prev))
     return x0
 
 

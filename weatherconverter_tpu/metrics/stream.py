@@ -34,7 +34,12 @@ def confusion_update(
 
 
 def init_confusion(num_classes: int) -> jax.Array:
-    return jnp.zeros((num_classes, num_classes), dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    """int32 accumulation: float32 counts silently lose increments past
+    2^24 (~17M pixels in one cell — a single large validation pass over a
+    dominant class reaches that), skewing the mIoU that drives best-model
+    selection. int32 additions are exact to 2.1e9; compute_metrics promotes
+    to float64 on host."""
+    return jnp.zeros((num_classes, num_classes), dtype=jnp.int32)
 
 
 def compute_metrics(conf: np.ndarray) -> dict:

@@ -79,10 +79,21 @@ def ddpm_loss_fn(
 
 
 def train_step(
-    state: DDPMTrainState, images: jax.Array, key: jax.Array, sched: NoiseSchedule
+    state: DDPMTrainState,
+    images: jax.Array,
+    key: jax.Array,
+    sched: NoiseSchedule,
+    augment_fn=None,
 ):
     """One un-jitted DDPM step; see `make_train_step` for the compiled,
-    mesh-sharded version."""
+    mesh-sharded version. `augment_fn(key, images) -> images` runs on-device
+    augmentation inside the same program (the loops pass the crop/flip
+    chain; keeping ONE canonical step body means EMA/optimizer changes can't
+    silently diverge between the plain and augmented paths — a drift a
+    review actually caught)."""
+    if augment_fn is not None:
+        akey, key = jax.random.split(key)
+        images = augment_fn(akey, images)
     loss, grads = jax.value_and_grad(ddpm_loss_fn)(
         state.params, state.apply_fn, sched, images, key
     )
@@ -92,14 +103,19 @@ def train_step(
     return state, loss
 
 
-def make_train_step(sched: NoiseSchedule, mesh: Optional[Mesh] = None, donate: bool = True):
+def make_train_step(
+    sched: NoiseSchedule,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+    augment_fn=None,
+):
     """Compile the DDPM train step, optionally laid out over a DP mesh.
 
     With a mesh, `images` must be sharded over ('data',) on its batch dim and
     the state replicated (see parallel.sharding.shard_batch / replicate);
     jit then compiles per-device compute + one ICI psum for the grads.
     """
-    step = partial(train_step, sched=sched)
+    step = partial(train_step, sched=sched, augment_fn=augment_fn)
     kwargs: dict[str, Any] = {}
     if donate:
         kwargs["donate_argnums"] = (0,)

@@ -35,7 +35,6 @@ from weatherconverter_tpu.parallel.sharding import (
 from weatherconverter_tpu.training.diffusion import (
     DDPMTrainState,
     create_ddpm_state,
-    ddpm_loss_fn,
 )
 from weatherconverter_tpu.training.losses import mse_loss
 
@@ -59,28 +58,17 @@ def build_dataset(cfg: DiffusionConfig) -> DiffusionImageDataset:
 
 def make_augmented_train_step(sched, crop: int, mesh=None, donate=True):
     """Train step whose input is the RAW uint8 host batch: augmentation
-    (crop/flip/scale) + q-sample + eps-MSE + Adam update compile into ONE
-    program (the reference does augmentation on host workers,
-    train_ddpm.py:150-159)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    (crop/flip/scale) + q-sample + eps-MSE + Adam update (+ EMA shadow)
+    compile into ONE program (the reference does augmentation on host
+    workers, train_ddpm.py:150-159). Delegates to the canonical
+    training/diffusion.make_train_step via its augment_fn hook — an earlier
+    hand-copied body here silently dropped the EMA update (review round 3)."""
+    from weatherconverter_tpu.training.diffusion import make_train_step
 
-    def step(state: DDPMTrainState, images_u8, key):
-        akey, lkey = jax.random.split(key)
-        images = diffusion_train_augment(akey, images_u8, crop=crop)
-        loss, grads = jax.value_and_grad(ddpm_loss_fn)(
-            state.params, state.apply_fn, sched, images, lkey
-        )
-        return state.apply_gradients(grads=grads), loss
-
-    kwargs = {}
-    if donate:
-        kwargs["donate_argnums"] = (0,)
-    if mesh is not None:
-        rep = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        kwargs["in_shardings"] = (rep, data, rep)
-        kwargs["out_shardings"] = (rep, rep)
-    return jax.jit(step, **kwargs)
+    return make_train_step(
+        sched, mesh=mesh, donate=donate,
+        augment_fn=partial(diffusion_train_augment, crop=crop),
+    )
 
 
 def train(
@@ -144,19 +132,23 @@ def train(
         state = replicate(mesh, state)
 
     tkey = keys["train"]
-    global_step = 0
+    # continue step numbering across resume (metrics alignment; the seg loop
+    # already did this)
+    global_step = int(jax.device_get(state.step))
     for epoch in range(int(state.epoch), tr.epochs):
-        epoch_loss, nb, t0 = 0.0, 0, time.time()
+        # exact epoch mean WITHOUT per-batch host syncs: accumulate on
+        # device (losses share one sharding), read back once per epoch
+        epoch_loss_dev, nb, t0 = None, 0, time.time()
         for batch in loader:
             tkey, sub = jax.random.split(tkey)
             b = shard_batch(mesh, batch) if mesh is not None else jnp.asarray(batch)
             skey = replicate(mesh, sub) if mesh is not None else sub
             state, loss = step_fn(state, b, skey)
+            epoch_loss_dev = loss if epoch_loss_dev is None else epoch_loss_dev + loss
             global_step += 1
             nb += 1
             if global_step % tr.log_interval == 0:
                 lv = float(loss)  # device sync only at log interval
-                epoch_loss += lv * tr.log_interval
                 logger.log({"train/loss": lv, "epoch": epoch}, step=global_step)
             if max_steps is not None and global_step >= max_steps:
                 logger.finish()
@@ -165,7 +157,7 @@ def train(
         logger.log(
             {
                 "epoch": epoch,
-                "epoch/loss": epoch_loss / max(nb, 1),
+                "epoch/loss": float(epoch_loss_dev) / nb if nb else 0.0,
                 "epoch/sec": dt,
                 "epoch/img_per_sec": nb * global_batch / max(dt, 1e-9),
             },

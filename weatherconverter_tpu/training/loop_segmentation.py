@@ -58,13 +58,14 @@ def build_datasets(cfg: SegConfig):
 def make_augmented_seg_train_step(cfg: SegConfig, loss_fn, mesh=None, input_grad=True):
     """Raw uint8 paired batch -> on-device ExtCompose-equivalent augment ->
     fwd/bwd -> SGD update, one jitted program (reference does augmentation in
-    host workers: train.py:289-309)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+    host workers: train.py:289-309). Delegates to the canonical
+    training/segmentation.make_seg_train_step via its augment_fn hook (a
+    hand-copied step body here is exactly how the diffusion loop's EMA
+    update got dropped; review round 3)."""
     t = cfg.data.transform
 
-    def step(state: SegTrainState, images_u8, labels, key):
-        images, labels = seg_train_augment(
+    def augment(key, images_u8, labels):
+        return seg_train_augment(
             key,
             images_u8,
             labels,
@@ -82,41 +83,19 @@ def make_augmented_seg_train_step(cfg: SegConfig, loss_fn, mesh=None, input_grad
             hue=t.hue,
         )
 
-        def lf(params, imgs):
-            out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs,
-                mutable=["batch_stats"],
-            )
-            return loss_fn(out, labels), updates["batch_stats"]
+    from weatherconverter_tpu.training.segmentation import make_seg_train_step
 
-        if input_grad:
-            (loss, new_bs), (grads, igrads) = jax.value_and_grad(
-                lf, argnums=(0, 1), has_aux=True
-            )(state.params, images)
-            ig = jnp.mean(jnp.sqrt(jnp.sum(igrads.astype(jnp.float32) ** 2, -1)))
-        else:
-            (loss, new_bs), grads = jax.value_and_grad(lf, has_aux=True)(
-                state.params, images
-            )
-            ig = jnp.zeros(())
-        state = state.apply_gradients(grads=grads).replace(batch_stats=new_bs)
-        return state, loss, ig
-
-    kwargs = {"donate_argnums": (0,)}
-    if mesh is not None:
-        rep = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        kwargs["in_shardings"] = (rep, data, data, rep)
-        kwargs["out_shardings"] = (rep, rep, rep)
-    return jax.jit(step, **kwargs)
+    return make_seg_train_step(
+        loss_fn, mesh=mesh, input_grad=input_grad, augment_fn=augment
+    )
 
 
-def validate(cfg, model_eval, state, val_loader, mesh=None) -> dict:
-    """Streaming confusion-matrix validation (reference: train.py:263-279)."""
+def make_val_fns(cfg, model_eval, mesh=None):
+    """Build the validation programs ONCE (jax.jit caches by callable
+    identity: rebuilding them inside validate() re-compiled the full
+    DeepLab eval graph every epoch; review round 3)."""
     t = cfg.data.transform
-    nc = cfg.model.num_classes
-    eval_step = make_seg_eval_step(model_eval, nc, mesh=mesh)
+    eval_step = make_seg_eval_step(model_eval, cfg.model.num_classes, mesh=mesh)
 
     @jax.jit
     def prep(images_u8, labels):
@@ -124,6 +103,16 @@ def validate(cfg, model_eval, state, val_loader, mesh=None) -> dict:
             images_u8, labels, crop=tuple(t.target_resolution),
             mean=tuple(t.mean), std=tuple(t.std),
         )
+
+    return eval_step, prep
+
+
+def validate(cfg, model_eval, state, val_loader, mesh=None, val_fns=None) -> dict:
+    """Streaming confusion-matrix validation (reference: train.py:263-279)."""
+    nc = cfg.model.num_classes
+    eval_step, prep = (
+        val_fns if val_fns is not None else make_val_fns(cfg, model_eval, mesh=mesh)
+    )
 
     conf = init_confusion(nc)
     if mesh is not None:
@@ -215,6 +204,7 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
 
     loss_fn = make_seg_loss(tr.loss_function.type, tr.loss_function.params)
     step_fn = make_augmented_seg_train_step(cfg, loss_fn, mesh=mesh)
+    val_fns = make_val_fns(cfg, model_eval, mesh=mesh)
 
     run_dir = create_run(cfg.folders.output)
     logger = MetricsLogger(run_dir, project="weather-converter-seg", config=cfg.model_dump())
@@ -261,7 +251,7 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
             if max_steps is not None and global_step >= max_steps:
                 logger.finish()
                 return state
-        results = validate(cfg, model_eval, state, val_loader, mesh=mesh)
+        results = validate(cfg, model_eval, state, val_loader, mesh=mesh, val_fns=val_fns)
         logger.log(
             {
                 "val/mIoU": results["Mean IoU"],

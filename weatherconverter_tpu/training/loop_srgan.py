@@ -122,7 +122,9 @@ def train(
 
     pair_fn = make_pair_fn(tr.hr_crop, upscale)
     pre_step = make_pretrain_step(pixel_loss=tr.pixel_loss, mesh=mesh)
-    gan_step = make_gan_step(adv_weight=tr.adv_weight, mesh=mesh)
+    gan_step = make_gan_step(
+        adv_weight=tr.adv_weight, mesh=mesh, pixel_loss=tr.pixel_loss
+    )
     # the (lr, hr) synthesis is tiny elementwise work; jit it standalone so
     # both phases share one compiled augment program
     pair_jit = jax.jit(pair_fn)
@@ -141,7 +143,9 @@ def train(
     global_step = int(jax.device_get(gs.step))
     for epoch in range(int(jax.device_get(gs.epoch)), tr.epochs):
         phase = "pretrain" if epoch < tr.pretrain_epochs else "gan"
-        ep_g, ep_d, nb, t0 = 0.0, 0.0, 0, time.time()
+        # exact epoch means without per-batch host syncs: accumulate lazily
+        # on device, one readback per epoch
+        ep_g, ep_d, nb, t0 = None, None, 0, time.time()
         for batch in loader:
             tkey, sub = jax.random.split(tkey)
             b = shard_batch(mesh, batch) if mesh is not None else jnp.asarray(batch)
@@ -151,16 +155,14 @@ def train(
                 d_loss = None
             else:
                 gs, dstate, g_loss, d_loss = gan_step(gs, dstate, lr_img, hr_img)
+                ep_d = d_loss if ep_d is None else ep_d + d_loss
+            ep_g = g_loss if ep_g is None else ep_g + g_loss
             global_step += 1
             nb += 1
             if global_step % tr.log_interval == 0:
-                gl = float(g_loss)
-                ep_g += gl * tr.log_interval
-                rec = {"train/g_loss": gl, "epoch": epoch, "phase": phase}
+                rec = {"train/g_loss": float(g_loss), "epoch": epoch, "phase": phase}
                 if d_loss is not None:
-                    dl = float(d_loss)
-                    ep_d += dl * tr.log_interval
-                    rec["train/d_loss"] = dl
+                    rec["train/d_loss"] = float(d_loss)
                 logger.log(rec, step=global_step)
             if max_steps is not None and global_step >= max_steps:
                 logger.finish()
@@ -170,8 +172,8 @@ def train(
             {
                 "epoch": epoch,
                 "phase": phase,
-                "epoch/g_loss": ep_g / max(nb, 1),
-                "epoch/d_loss": ep_d / max(nb, 1),
+                "epoch/g_loss": float(ep_g) / nb if nb else 0.0,
+                "epoch/d_loss": float(ep_d) / nb if ep_d is not None and nb else 0.0,
                 "epoch/img_per_sec": nb * global_batch / max(dt, 1e-9),
             },
             step=global_step,

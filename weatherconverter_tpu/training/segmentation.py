@@ -70,6 +70,7 @@ def make_seg_train_step(
     mesh: Optional[Mesh] = None,
     input_grad: bool = True,
     donate: bool = True,
+    augment_fn=None,
 ):
     """Compile the seg train step.
 
@@ -77,9 +78,13 @@ def make_seg_train_step(
     `input_grad_mag` is the mean L2-over-channels magnitude of dL/d(images)
     (reference: train.py:211-212 logs `images.grad` magnitude per batch);
     zeros when input_grad=False.
-    """
 
-    def step(state: SegTrainState, images: jax.Array, labels: jax.Array):
+    With `augment_fn(key, images_u8, labels) -> (images, labels)` the step
+    signature becomes (state, images_u8, labels, key) and the paired
+    augmentation compiles into the same program (ONE canonical step body —
+    the loops previously hand-copied it, which invites drift)."""
+
+    def core(state: SegTrainState, images: jax.Array, labels: jax.Array):
         def lf(params, imgs):
             out, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -102,13 +107,22 @@ def make_seg_train_step(
         state = state.replace(batch_stats=new_bs)
         return state, loss, ig_mag
 
+    if augment_fn is None:
+        step = core
+    else:
+
+        def step(state, images_u8, labels, key):
+            images, labels2 = augment_fn(key, images_u8, labels)
+            return core(state, images, labels2)
+
     kwargs: dict[str, Any] = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
     if mesh is not None:
         rep = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        kwargs["in_shardings"] = (rep, data, data)
+        ins = (rep, data, data) if augment_fn is None else (rep, data, data, rep)
+        kwargs["in_shardings"] = ins
         kwargs["out_shardings"] = (rep, rep, rep)
     return jax.jit(step, **kwargs)
 

@@ -77,12 +77,17 @@ def make_pretrain_step(pixel_loss: str = "l1", mesh: Optional[Mesh] = None):
 
 
 def make_gan_step(
-    adv_weight: float = 1e-3, pixel_weight: float = 1.0, mesh: Optional[Mesh] = None
+    adv_weight: float = 1e-3,
+    pixel_weight: float = 1.0,
+    mesh: Optional[Mesh] = None,
+    pixel_loss: str = "l1",
 ):
     """Phase 2: alternating D / G update in one jitted step.
 
     D: BCE(D(hr), 1) + BCE(D(G(lr)), 0);  G: pixel + adv_weight * BCE(D(G(lr)), 1).
     The reference Discriminator ends in sigmoid (models.py:137), so plain BCE.
+    `pixel_loss` ('l1'|'l2') matches the pretrain phase's content objective
+    (it was silently hardcoded to L1 before; review round 3).
     """
 
     def step(gs: SRGANState, ds: SRGANState, lr_img, hr_img):
@@ -122,7 +127,10 @@ def make_gan_step(
                 sr2,
                 mutable=["batch_stats"],  # train-mode BN; stats update discarded
             )
-            pixel = jnp.mean(jnp.abs(sr2 - hr_img))
+            if pixel_loss == "l1":
+                pixel = jnp.mean(jnp.abs(sr2 - hr_img))
+            else:
+                pixel = jnp.mean((sr2 - hr_img) ** 2)
             adv = bce_logits(d_out, jnp.ones_like(d_out))
             return pixel_weight * pixel + adv_weight * adv, upd["batch_stats"]
 
