@@ -82,21 +82,25 @@ class StreamSegMetrics:
         self.reset()
 
     def update(self, label_trues, label_preds) -> None:
-        conf = confusion_update(
-            jnp.asarray(self._conf), jnp.asarray(label_preds), jnp.asarray(label_trues), self.num_classes
+        # accumulate HOST-side in int64: shipping self._conf through the
+        # device round-trip downcast it to f32 (x64 disabled), re-creating
+        # the 2^24 count-loss init_confusion guards against
+        batch = confusion_update(
+            init_confusion(self.num_classes),
+            jnp.asarray(label_preds), jnp.asarray(label_trues), self.num_classes,
         )
-        self._conf = np.asarray(conf)
+        self._conf = self._conf + np.asarray(batch, dtype=np.int64)
 
     def update_confusion(self, conf) -> None:
         """Merge an externally accumulated (C, C) matrix (the fast path: keep
         accumulation inside the jitted eval step, merge once per epoch)."""
-        self._conf = self._conf + np.asarray(conf)
+        self._conf = self._conf + np.asarray(conf, dtype=np.int64)
 
     def get_results(self) -> dict:
         return compute_metrics(self._conf)
 
     def reset(self) -> None:
-        self._conf = np.zeros((self.num_classes, self.num_classes), dtype=np.float64)
+        self._conf = np.zeros((self.num_classes, self.num_classes), dtype=np.int64)
 
     @staticmethod
     def to_str(results: dict) -> str:

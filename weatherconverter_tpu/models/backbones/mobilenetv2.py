@@ -148,7 +148,10 @@ class MobileNetV2Features(nn.Module):
             else:
                 stride = s
                 current_stride *= s
-            output_channel = int(c * self.width_mult)
+            # channel rounding exactly like the reference (mobilenetv2.py:129
+            # uses _make_divisible, not a bare int cast — they differ for any
+            # width_mult != 1 and break checkpoint import otherwise)
+            output_channel = _make_divisible(c * self.width_mult)
             for i in range(n):
                 h = InvertedResidual(
                     input_channel if i == 0 else output_channel,

@@ -149,9 +149,8 @@ class XceptionFeatures(nn.Module):
         s, d = stride_dil(2, rswd[2])
         h = XceptionBlock(256, 728, 2, s, dilation=d, train=self.train, dtype=self.dtype, name="block3")(h)
         for i in range(4, 12):
-            # middle blocks inherit the block3 dilation decision
-            _, d_mid = 1, (dilation if rswd[2] else dilation)
-            h = XceptionBlock(728, 728, 3, 1, dilation=d_mid, train=self.train,
+            # middle blocks inherit the current (post-block3) dilation
+            h = XceptionBlock(728, 728, 3, 1, dilation=dilation, train=self.train,
                               dtype=self.dtype, name=f"block{i}")(h)
         s, d = stride_dil(2, rswd[3])
         h = XceptionBlock(728, 1024, 2, s, grow_first=False, dilation=d,

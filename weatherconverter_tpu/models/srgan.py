@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from weatherconverter_tpu.ops.image import adaptive_avg_pool, pixel_shuffle
-from weatherconverter_tpu.ops.packed_conv import narrow_out_conv
+from weatherconverter_tpu.ops.packed_conv import ConvParams, narrow_out_conv
 
 Dtype = Any
 
@@ -163,28 +163,19 @@ def _parse_tail_pack(spec: str) -> tuple[int, int]:
         raise ValueError(
             f"WCTPU_TAIL_PACK must be 'NxM' (e.g. '4x8', '0x0' to disable); got {spec!r}"
         )
-    return int(parts[0]), int(parts[1])
+    sh, sw = int(parts[0]), int(parts[1])
+    if sh == 0 or sw == 0:
+        return (0, 0)  # any zero disables (avoids a modulo-by-zero at trace)
+    return sh, sw
 
 
 _TAIL_PACK = _parse_tail_pack(_os.environ.get("WCTPU_TAIL_PACK", "4x8"))
 
 
-class _ConvParams(nn.Module):
-    """Bare kernel(+bias) params with nn.Conv's names, so the composed
-    SeparableConv path shares its checkpoint layout with the factorized one."""
-
-    kernel_shape: tuple
-    bias_features: int = 0
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.kernel_shape)
-        bias = (
-            self.param("bias", nn.initializers.zeros, (self.bias_features,))
-            if self.bias_features
-            else None
-        )
-        return kernel, bias
+# Bare kernel(+bias) params with nn.Conv's names, so the composed
+# SeparableConv paths share their checkpoint layout with the factorized one
+# (single shared implementation; a verbatim copy lived here before).
+_ConvParams = ConvParams
 
 
 class ConvBlock(nn.Module):

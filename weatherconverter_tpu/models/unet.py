@@ -155,7 +155,6 @@ class Unet(nn.Module):
         )
 
         skips = []
-        res = cfg.im_size
         for i in range(len(down_channels) - 1):
             skips.append(out)
             use_attn = (cfg.im_size // (2**i)) in cfg.attn_resolutions

@@ -52,7 +52,10 @@ class LegacySelfAttention(nn.Module):
         attn = attn + tokens
         ff = nn.LayerNorm(name="ff_ln")(attn)
         ff = nn.Dense(c, dtype=self.dtype, name="ff1")(ff)
-        ff = nn.gelu(ff)
+        # exact (erf) GELU: torch nn.GELU() default; flax's default is the
+        # tanh approximation, which drifts ~4e-4/activation and compounds
+        # over 7 attention blocks x 500 sampling steps (checkpoint parity)
+        ff = nn.gelu(ff, approximate=False)
         ff = nn.Dense(c, dtype=self.dtype, name="ff2")(ff)
         out = ff + attn
         return out.reshape(b, h, w, c)

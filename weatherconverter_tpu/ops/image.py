@@ -96,11 +96,12 @@ def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
 
 def center_crop(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Center crop NHWC (torchvision CenterCrop semantics: offset =
-    round((in - out)/2) via integer division)."""
+    int(round((in - out)/2.0)) with Python banker's rounding — differs from
+    floor division by one pixel when (in-out) % 4 == 3)."""
     n, h, w, c = x.shape
     th, tw = size
-    top = (h - th) // 2
-    left = (w - tw) // 2
+    top = int(round((h - th) / 2.0))
+    left = int(round((w - tw) / 2.0))
     return x[:, top : top + th, left : left + tw, :]
 
 
