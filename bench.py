@@ -51,7 +51,8 @@ def parse_args():
             "sample", "train", "seg-infer",
         ],
     )
-    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--steps", type=int, default=None,
+                   help="default: 1000 (50 for translate-ddim)")
     p.add_argument(
         "--batch", type=int, default=8,
         help="throughput batch; 8 saturates one v5e chip for this pipeline",
@@ -94,11 +95,11 @@ def main():
             down_sample=[True, False], time_emb_dim=16, num_down_layers=1,
             num_mid_layers=1, num_up_layers=1, num_heads=2, attn_resolutions=[8],
         )
-        steps = min(args.steps, 8)
+        steps = min(args.steps or 1000, 8)
         seg_name, sr_factor = "deeplabv3plus_resnet18", 2
     else:
         ucfg = UnetModelConfig()  # production 128px ladder
-        steps = args.steps
+        steps = args.steps if args.steps is not None else 1000
         seg_name, sr_factor = "deeplabv3plus_resnet101", 2
 
     unet = Unet(config=ucfg, fused=on_tpu, dtype=dtype)
@@ -213,7 +214,7 @@ def main():
     if args.mode == "translate-ddim":
         # fast-serving extension: full-quality-budget DDIM subsequence,
         # 50 guided steps by default (--steps to override)
-        ddim_steps = 50 if args.steps == 1000 else args.steps
+        ddim_steps = args.steps if args.steps is not None else 50
 
         def run(up, sv, gv, g, k):
             k1, k2 = jax.random.split(k)

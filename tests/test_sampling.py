@@ -173,3 +173,17 @@ def test_ddpm_sample_trajectory_buffer():
     )
     assert traj.shape == (3, 1, 8, 8, 3)  # ceil(12/5)
     assert bool(jnp.all(jnp.isfinite(traj)))
+
+
+def test_strided_taus_starts_at_top_of_span():
+    """taus must descend from T-1 even at num_steps=1 — bare linspace gives
+    [0] there, treating the N(0,I) init as x_{t=0} (review round 3)."""
+    import numpy as np
+
+    from weatherconverter_tpu.diffusion.sampling import strided_taus
+
+    taus, tp = strided_taus(40, 1)
+    assert list(np.asarray(taus)) == [39] and list(np.asarray(tp)) == [-1]
+    taus2, tp2 = strided_taus(40, 2)
+    assert list(np.asarray(taus2)) == [39, 0]
+    assert list(np.asarray(tp2)) == [0, -1]

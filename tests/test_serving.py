@@ -181,3 +181,21 @@ def test_http_server_ddim_sampler_and_seed_determinism(tmp_path):
     finally:
         httpd.shutdown()
         service.close()
+
+
+def test_ddim_default_does_not_shorten_sample_steps(tmp_path):
+    """`serve --sampler ddim` defaults TRANSLATE to 50 steps but must leave
+    the unconditional /v1/sample default at cfg.guidance.num_steps (review
+    round 3: a shared self.steps silently degraded samples)."""
+    from weatherconverter_tpu.core.config import load_translation_config
+    from weatherconverter_tpu.serving.server import TranslationService
+
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(TINY_YAML)
+    cfg = load_translation_config(str(cfg_path))
+    service = TranslationService(cfg, batch=2, max_wait_ms=5.0, sampler="ddim")
+    try:
+        assert service.steps == 50  # translate fast-path default
+        assert service.sample_steps == cfg.guidance.num_steps
+    finally:
+        service.close()

@@ -201,6 +201,10 @@ def run_translate(args) -> int:
     lbl = Image.open(args.label).resize((hr, hr), Image.NEAREST)
     gt = encode_target(np.asarray(lbl, dtype=np.uint8))
 
+    # sampler-appropriate step defaults: the ddim path exists for FEW-step
+    # translation (500 would negate its purpose; review round 3)
+    if getattr(args, "steps", None) is None:
+        args.steps = 50 if getattr(args, "sampler", "ddpm") == "ddim" else 500
     if getattr(args, "sampler", "ddpm") == "ddim":
         from weatherconverter_tpu.guidance.translate import sample_with_sgg_ddim
 

@@ -63,7 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--out", default="outputs/translated.png")
     tr.add_argument("--mode", default="fixed", choices=["fixed", "reference"])
     tr.add_argument("--lambda", dest="lam", type=float, default=60.0)
-    tr.add_argument("--steps", type=int, default=500)
+    tr.add_argument("--steps", type=int, default=None,
+                    help="default: 500 (the reference's N, translation.py:56); 50 for --sampler ddim")
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
                     help="ddim = few-step guided translation (framework extension)")

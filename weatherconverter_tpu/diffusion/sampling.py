@@ -42,6 +42,41 @@ from weatherconverter_tpu.diffusion.schedule import (
 ApplyFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
+def strided_taus(T: int, S: int) -> tuple[jax.Array, jax.Array]:
+    """(taus, tau_prev) for an S-step subsequence of [0, T): taus descend
+    from T-1 (the chain STARTS at the top of the span — linspace alone
+    yields [0] at S=1, which would treat the N(0, I) init as x_{t=0})."""
+    if S >= 2:
+        taus = jnp.linspace(0, T - 1, S).round().astype(jnp.int32)[::-1]
+    else:
+        taus = jnp.array([T - 1], dtype=jnp.int32)
+    tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+    return taus, tau_prev
+
+
+def strided_posterior_step(
+    sched: NoiseSchedule,
+    xt: jax.Array,
+    eps: jax.Array,
+    t: jax.Array,
+    tp: jax.Array,
+    noise: jax.Array,
+) -> jax.Array:
+    """Generalized ancestral transition q(x_tp | x_t, x0-pred) for a strided
+    subsequence (eta=1 DDIM variance, no x0 clipping — reduces exactly to
+    the DDPM posterior step at stride 1). ONE implementation shared by the
+    strided samplers; the math is subtle enough that hand-copies drift."""
+    acp_t = sched.alpha_cum_prod[t]
+    acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
+    x0 = predict_x0(sched, xt, eps, t)
+    sigma2 = (1 - acp_p) / (1 - acp_t) * jnp.maximum(1 - acp_t / acp_p, 0.0)
+    mean = (
+        jnp.sqrt(acp_p) * x0
+        + jnp.sqrt(jnp.maximum(1.0 - acp_p - sigma2, 0.0)) * eps
+    )
+    return mean + jnp.where(tp >= 0, jnp.sqrt(sigma2) * noise, 0.0)
+
+
 def ddpm_sample(
     apply_fn: ApplyFn,
     sched: NoiseSchedule,
@@ -81,12 +116,11 @@ def ddpm_sample(
     if strided and mode != "posterior":
         raise ValueError(
             f"strided ddpm_sample (num_steps={S} != T={T}) defines its own "
-            "subsequence posterior; variance mode {mode!r} is only "
+            f"subsequence posterior; variance mode {mode!r} is only "
             "meaningful at stride 1"
         )
     if strided:
-        taus = jnp.linspace(0, T - 1, S).round().astype(jnp.int32)[::-1]
-        tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+        taus, tau_prev = strided_taus(T, S)
     else:
         taus = jnp.arange(T - 1, -1, -1)
         tau_prev = taus - 1
@@ -98,15 +132,7 @@ def ddpm_sample(
     def step_fn(xt, eps, t, tp, noise):
         if not strided:
             return ddpm_step(sched, xt, eps, t, noise, mode=mode)
-        acp_t = sched.alpha_cum_prod[t]
-        acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
-        x0 = predict_x0(sched, xt, eps, t)
-        sigma2 = (1 - acp_p) / (1 - acp_t) * jnp.maximum(1 - acp_t / acp_p, 0.0)
-        mean = (
-            jnp.sqrt(acp_p) * x0
-            + jnp.sqrt(jnp.maximum(1.0 - acp_p - sigma2, 0.0)) * eps
-        )
-        return mean + jnp.where(tp >= 0, jnp.sqrt(sigma2) * noise, 0.0)
+        return strided_posterior_step(sched, xt, eps, t, tp, noise)
 
     def body(carry, scan_in):
         t, tp, i = scan_in
@@ -158,8 +184,7 @@ def ddpm_sample_legacy(
     xt = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
     strided = S != T
     if strided:
-        taus = jnp.linspace(0, T - 1, S).round().astype(jnp.int32)[::-1]
-        tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+        taus, tau_prev = strided_taus(T, S)
     else:
         taus = jnp.arange(T - 1, -1, -1)
         tau_prev = taus - 1
@@ -174,15 +199,7 @@ def ddpm_sample_legacy(
         if not strided:
             xt = ddpm_step(sched, xt, eps, t, noise, mode="beta")
         else:
-            acp_t = sched.alpha_cum_prod[t]
-            acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
-            x0 = predict_x0(sched, xt, eps, t)
-            sigma2 = (1 - acp_p) / (1 - acp_t) * jnp.maximum(1 - acp_t / acp_p, 0.0)
-            mean = (
-                jnp.sqrt(acp_p) * x0
-                + jnp.sqrt(jnp.maximum(1.0 - acp_p - sigma2, 0.0)) * eps
-            )
-            xt = mean + jnp.where(tp >= 0, jnp.sqrt(sigma2) * noise, 0.0)
+            xt = strided_posterior_step(sched, xt, eps, t, tp, noise)
         return (xt, key), None
 
     (x0, _), _ = jax.lax.scan(body, (xt, key), (taus, tau_prev))
@@ -203,8 +220,7 @@ def ddim_sample(
     ODE, eta = 1 recovers ancestral-DDPM-like variance on the subsequence.
     """
     T = sched.T
-    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
-    tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+    taus, tau_prev = strided_taus(T, num_steps)
     key, init_key = jax.random.split(key)
     xt = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
 

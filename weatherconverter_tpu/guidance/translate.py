@@ -202,9 +202,10 @@ def sample_with_sgg_ddim(
         raw_seg_fn = seg_fn
         seg_fn = lambda x: raw_seg_fn(normalize(x, IMAGENET_MEAN, IMAGENET_STD))
 
+    from weatherconverter_tpu.diffusion.sampling import strided_taus
+
     span = sched.T if span_t is None else span_t
-    taus = jnp.linspace(0, span - 1, num_steps).round().astype(jnp.int32)[::-1]
-    tau_prev = jnp.concatenate([taus[1:], jnp.array([-1], dtype=jnp.int32)])
+    taus, tau_prev = strided_taus(span, num_steps)
     steps = jnp.arange(num_steps - 1, -1, -1)
 
     key, nkey = jax.random.split(key)

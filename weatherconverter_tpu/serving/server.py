@@ -130,6 +130,9 @@ class TranslationService:
         lam = cfg.guidance.lambda_
         num_classes = cfg.seg.model.num_classes
         mode = cfg.guidance.mode
+        # translate and unconditional-sample defaults are SEPARATE: the ddim
+        # fast-translate default must not silently shorten /v1/sample chains
+        self.sample_steps = steps or cfg.guidance.num_steps
         translate_steps = self.steps
         if sampler == "ddim" and steps is None:
             # fast-serving default: 50-step DDIM subsequence (~20x lower
@@ -210,7 +213,12 @@ class TranslationService:
             for idx, (st, seed) in enumerate(items):
                 groups.setdefault(int(st), []).append((idx, int(seed)))
             for st, members in groups.items():
-                seeds = [s for _, s in members] + [0] * (self.batch - len(members))
+                # pad each group to the next power of two (capped at the
+                # compiled max): bounded compile variants, and a micro-batch
+                # of 4 distinct step counts costs ~4+ chains, not 4 full
+                # batch-width batches
+                width = min(self.batch, 1 << (len(members) - 1).bit_length())
+                seeds = [s for _, s in members] + [0] * (width - len(members))
                 keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
                 out = np.asarray(self._sample_jit(self._uparams, keys, st))
                 out = (out + 1.0) / 2.0
@@ -234,7 +242,7 @@ class TranslationService:
         return _png_bytes(out)
 
     def sample(self, steps: Optional[int] = None, seed: int = 0) -> bytes:
-        out = self._sample_batcher.submit(steps or self.steps, seed)
+        out = self._sample_batcher.submit(steps or self.sample_steps, seed)
         return _png_bytes(out)
 
     def stats(self) -> dict:
