@@ -181,12 +181,16 @@ def main():
         state, loss = step(state, images, jax.random.PRNGKey(2))  # compile
         force(loss)
         n = 20
-        t0 = time.perf_counter()
-        for i in range(n):
-            state, loss = step(state, images, jax.random.PRNGKey(3 + i))
-        force(loss)
-        dt = (time.perf_counter() - t0) / n
-        value = B / dt
+        # min over repeats like every other mode (single-window runs showed
+        # +-4% run-to-run variance on the tunneled backend)
+        best = 1e9
+        for r in range(args.repeats):
+            t0 = time.perf_counter()
+            for i in range(n):
+                state, loss = step(state, images, jax.random.PRNGKey(3 + n * r + i))
+            force(loss)
+            best = min(best, (time.perf_counter() - t0) / n)
+        value = B / best
         print(json.dumps({
             "metric": f"ddpm_train_{H}px_images_per_sec_per_chip",
             "value": round(value, 3), "unit": "img/s/chip",

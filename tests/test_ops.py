@@ -333,3 +333,26 @@ def test_flash_attention_underflow_rows_stay_finite():
     )
     g = jax.grad(lambda vv: jnp.sum(flash_attention(q, k, vv) ** 2))(v)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_narrow_out_conv_matches_plain_and_falls_back():
+    """ops/packed_conv.narrow_out_conv: shift-packed SAME conv == plain XLA
+    conv for divisible shapes; ragged shapes take the plain path."""
+    from weatherconverter_tpu.ops.packed_conv import narrow_out_conv
+
+    kx, kw_ = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (2, 16, 24, 32))
+    w = jax.random.normal(kw_, (3, 3, 32, 3)) * 0.1
+    bias = jnp.array([0.1, -0.2, 0.3])
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias
+    out = narrow_out_conv(x, w, bias)  # 16%4==0, 24%8==0 -> packed
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    x2 = jax.random.normal(kx, (1, 15, 17, 32))
+    ref2 = jax.lax.conv_general_dilated(
+        x2, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias
+    out2 = narrow_out_conv(x2, w, bias)  # ragged -> plain path
+    np.testing.assert_allclose(out2, ref2, atol=1e-5, rtol=1e-5)

@@ -100,3 +100,13 @@ def test_translate_with_spatial_mesh_matches_unsharded():
     ref = run(None)
     out = run(make_spatial_mesh(data=1, space=8))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_spatial_mesh_alternate_shape():
+    """(data=4, space=2) also partitions correctly (different halo split)."""
+    seg, v, x, gt = _seg_and_inputs()
+    ref = jax.jit(seg.apply)(v, x)
+    mesh = make_spatial_mesh(data=2, space=2, devices=jax.devices()[:4])
+    xs = shard_spatial(mesh, x)
+    out = jax.jit(seg.apply)(v, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
