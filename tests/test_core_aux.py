@@ -122,3 +122,45 @@ def test_restore_auto_into_state_with_added_field(tmp_path):
     assert int(out.epoch) == 7
     assert float(out.params["w"][0]) == 1.0  # restored
     assert float(out.extra[0]) == 5.0  # kept from target init
+
+
+def test_restore_auto_tuple_target_with_added_field(tmp_path):
+    """The SRGAN loop checkpoints a (gen_state, disc_state) TUPLE; orbax's
+    target-less restore yields a top-level LIST for it. A tuple target whose
+    states gained a field since the checkpoint was written must still merge
+    (advisor round 1: _merge_into_target early-returned the raw list and
+    loop_srgan.train crashed at int(gs.step))."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import struct
+    from flax.training import train_state
+
+    from weatherconverter_tpu.core.checkpoint import CheckpointManager, restore_auto
+
+    class OldState(train_state.TrainState):
+        pass
+
+    class NewState(train_state.TrainState):
+        extra: jnp.ndarray = struct.field(default=None)
+
+    tx = optax.sgd(0.1)
+    gen = OldState.create(apply_fn=None, params={"w": jnp.ones((3,))}, tx=tx)
+    disc = OldState.create(apply_fn=None, params={"v": jnp.full((2,), 2.0)}, tx=tx)
+    gen = gen.replace(step=11)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(1, jax.device_get((gen, disc)))
+    ckpt.wait()
+
+    new_gen = NewState.create(
+        apply_fn=None, params={"w": jnp.zeros((3,))}, tx=tx
+    ).replace(extra=jnp.full((4,), 9.0))
+    new_disc = NewState.create(
+        apply_fn=None, params={"v": jnp.zeros((2,))}, tx=tx
+    ).replace(extra=jnp.full((4,), 9.0))
+    out = restore_auto(str(tmp_path / "ck"), (new_gen, new_disc), prefer_best=False)
+    gs, ds = out
+    assert isinstance(gs, NewState) and isinstance(ds, NewState)
+    assert int(gs.step) == 11  # the exact access that used to crash
+    assert float(gs.params["w"][0]) == 1.0 and float(ds.params["v"][0]) == 2.0
+    assert float(gs.extra[0]) == 9.0  # later-added field keeps its init

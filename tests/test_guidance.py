@@ -245,3 +245,38 @@ def test_ddim_guided_translate_fast_path():
 
     out_alt = run(10.0, "alternate", eta=1.0)
     assert bool(jnp.all(jnp.isfinite(out_alt)))
+
+
+def test_ddim_default_span_preserves_source_content():
+    """sample_with_sgg_ddim must default its diffusion span to the translate
+    span (min(500, T)), NOT the schedule's full T: q-sampling to t=T-1
+    (alpha_bar ~ 4e-5) destroys the source image and turns 'translation'
+    into label-guided generation (advisor round 1). With an eps=0 denoiser
+    the chain's output is a deterministic function of the initial q-sample,
+    so output/input correlation directly measures how much source survives."""
+    from weatherconverter_tpu.diffusion.schedule import linear_schedule
+    from weatherconverter_tpu.guidance.translate import sample_with_sgg_ddim
+
+    sched = linear_schedule(1000)
+    Hs, Bs = 24, 2
+    # high-contrast structured source: ±1 blocks
+    blocks = jnp.sign(jax.random.normal(jax.random.PRNGKey(0), (Bs, 6, 6, 3)))
+    inp = jnp.repeat(jnp.repeat(blocks, 4, axis=1), 4, axis=2)
+    gt = jnp.zeros((Bs, Hs, Hs), dtype=jnp.int32)
+    diff_fn = lambda xt, t: jnp.zeros_like(xt)
+    sr_fn = lambda x: jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)  # same-res "SR"
+
+    def corr(span_t):
+        out = sample_with_sgg_ddim(
+            diff_fn, sched, linear_seg_fn, sr_fn, inp, gt,
+            jax.random.PRNGKey(1), lam=0.0, num_steps=6,
+            span_t=span_t, num_classes=C, guidance_style="none",
+        )
+        a = np.asarray(out).ravel() - np.asarray(out).mean()
+        b = np.asarray(inp).ravel() - np.asarray(inp).mean()
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+
+    c_default = corr(None)  # must behave like the translate span
+    c_full = corr(sched.T)  # explicit full-T opt-in: generation
+    assert c_default > 0.1, f"default span destroyed the source (corr={c_default:.3f})"
+    assert c_default > c_full + 0.05, (c_default, c_full)

@@ -55,7 +55,9 @@ def test_factory_rejects_unknown():
 def test_supported_models_list():
     assert "deeplabv3plus_resnet101" in SUPPORTED_MODELS
     assert "deeplabv3_hrnetv2_48" in SUPPORTED_MODELS
-    assert len(SUPPORTED_MODELS) == 18
+    assert "deeplabv3plus_resnext50_32x4d" in SUPPORTED_MODELS
+    assert "deeplabv3_wide_resnet101_2" in SUPPORTED_MODELS
+    assert len(SUPPORTED_MODELS) == 26
 
 
 def test_resnet_backbone_feature_channels():

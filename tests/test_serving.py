@@ -199,3 +199,23 @@ def test_ddim_default_does_not_shorten_sample_steps(tmp_path):
         assert service.sample_steps == cfg.guidance.num_steps
     finally:
         service.close()
+
+
+def test_ddim_with_reference_mode_refused(tmp_path):
+    """sampler='ddim' + guidance.mode='reference' would silently serve
+    UNGUIDED samples (the DDIM path has no analog of the reference's
+    xt-overwrite); the service must refuse at construction (advisor
+    round 1)."""
+    import pytest
+
+    from weatherconverter_tpu.core.config import load_translation_config
+    from weatherconverter_tpu.serving.server import TranslationService
+
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(TINY_YAML.replace("mode: fixed", "mode: reference"))
+    cfg = load_translation_config(str(cfg_path))
+    with pytest.raises(ValueError, match="reference"):
+        TranslationService(cfg, batch=2, max_wait_ms=5.0, sampler="ddim")
+    # the DDPM sampler still accepts reference mode (it replicates the bug)
+    service = TranslationService(cfg, batch=2, steps=3, max_wait_ms=5.0)
+    service.close()

@@ -5,6 +5,7 @@ mapping table."""
 from __future__ import annotations
 
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -208,13 +209,26 @@ def run_translate(args) -> int:
     if getattr(args, "sampler", "ddpm") == "ddim":
         from weatherconverter_tpu.guidance.translate import sample_with_sgg_ddim
 
+        if args.mode == "reference":
+            # the DDPM path replicates the reference's overwrite defect; the
+            # DDIM path has no reference analog, so guidance is simply off
+            print(
+                "warning: --sampler ddim with --mode reference disables "
+                "guidance entirely (the reference's xt-overwrite has no DDIM "
+                "analog); use --mode fixed for guided DDIM translation",
+                file=sys.stderr,
+            )
+        # taus stride the TRANSLATE span (cfg.guidance.num_steps), not the
+        # full T: q-sampling to t=T-1 destroys the source (advisor round 1)
+        span_t = args.span_t if args.span_t is not None else cfg.guidance.num_steps
+
         @jax.jit
         def _ddim_translate(up, sv, gv, i_, g_, k_):
             return sample_with_sgg_ddim(
                 lambda x, t: unet.apply({"params": up}, x, t), sched,
                 lambda x: seg.apply(sv, x), lambda x: gen.apply(gv, x),
                 i_, g_, k_, lam=args.lam, num_steps=args.steps,
-                span_t=args.span_t, eta=args.eta,
+                span_t=span_t, eta=args.eta,
                 num_classes=cfg.seg.model.num_classes, mode=args.mode,
             )
 

@@ -70,7 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ddim = few-step guided translation (framework extension)")
     tr.add_argument("--eta", type=float, default=0.0, help="DDIM noise scale")
     tr.add_argument("--span-t", type=int, default=None,
-                    help="diffusion span the DDIM taus stride (default: full T)")
+                    help="diffusion span the DDIM taus stride (default: the translate "
+                         "span cfg.guidance.num_steps, which preserves source content; "
+                         "pass the schedule's full T for label-guided generation)")
 
     iv = sub.add_parser("infer-seg", help="segmentation inference + gradient probe")
     iv.add_argument("--config", default=None)

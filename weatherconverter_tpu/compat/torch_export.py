@@ -424,7 +424,7 @@ def export_deeplab_hrnet(params, stats, num_blocks=(1, 4, 3)) -> dict:
 def export_deeplab(params, stats, model_name: str) -> dict:
     """Dispatch on the factory model name — inverse of convert_deeplab."""
     backbone = model_name.split("_", 1)[1]
-    if backbone.startswith("resnet"):
+    if backbone.startswith(("resnet", "resnext", "wide_resnet")):
         return export_deeplab_resnet(params, stats, backbone)
     if backbone == "mobilenet":
         return export_deeplab_mobilenet(params, stats)

@@ -360,6 +360,13 @@ RESNET_LAYERS = {
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "resnet152": (3, 8, 36, 3),
+    # grouped/wide variants (reference resnet.py:285-348): the grouped 3x3
+    # conv2 weight (O, I/groups, 3, 3) maps to flax HWIO (3, 3, I/groups, O)
+    # by the same _conv transpose — groups are implied by the shapes
+    "resnext50_32x4d": (3, 4, 6, 3),
+    "resnext101_32x8d": (3, 4, 23, 3),
+    "wide_resnet50_2": (3, 4, 6, 3),
+    "wide_resnet101_2": (3, 4, 23, 3),
 }
 RESNET_BASIC = {"resnet18", "resnet34"}
 
@@ -704,7 +711,7 @@ def convert_deeplab(sd: Mapping[str, Any], model_name: str) -> tuple[dict, dict]
     """Dispatch on the factory model name (reference modeling.py:112-124):
     every deeplabv3{,plus}_{resnet*,mobilenet,xception,hrnetv2_*} imports."""
     backbone = model_name.split("_", 1)[1]
-    if backbone.startswith("resnet"):
+    if backbone.startswith(("resnet", "resnext", "wide_resnet")):
         return convert_deeplab_resnet(sd, backbone)
     if backbone == "mobilenet":
         return convert_deeplab_mobilenet(sd)
@@ -728,7 +735,13 @@ def convert_backbone(sd: Mapping[str, Any], model_name: str) -> tuple[dict, dict
     """Standalone classification checkpoint (torchvision/HRNet layout, keys
     WITHOUT the 'backbone.' prefix) -> (params, batch_stats) for just the seg
     model's backbone subtree."""
-    backbone = model_name.split("_", 1)[1] if "_" in model_name else model_name
+    backbone = model_name
+    for arch in ("deeplabv3plus_", "deeplabv3_"):
+        # strip only a leading arch prefix — bare multi-underscore backbone
+        # names (resnext50_32x4d, wide_resnet50_2, hrnetv2_32) must survive
+        if model_name.startswith(arch):
+            backbone = model_name[len(arch):]
+            break
     if backbone == "mobilenet" or backbone.startswith("mobilenet"):
         # torchvision mobilenet_v2 keys are features.{i}; the deeplab wrapper
         # splits them into low/high level attrs keeping the indices
@@ -741,7 +754,7 @@ def convert_backbone(sd: Mapping[str, Any], model_name: str) -> tuple[dict, dict
             if k.startswith("features.") and int(k.split(".")[1]) < 18
         }
         full = convert_deeplab_mobilenet(remapped, include_head=False)
-    elif backbone.startswith("resnet"):
+    elif backbone.startswith(("resnet", "resnext", "wide_resnet")):
         remapped = {f"backbone.{k}": v for k, v in sd.items() if not k.startswith("fc.")}
         full = convert_deeplab_resnet(remapped, backbone, include_head=False)
     elif backbone == "xception":

@@ -255,6 +255,12 @@ def _merge_into_target(target: Any, raw: Any) -> Any:
             return {k: merge(v, r[k]) if k in r else v for k, v in t.items()}
         return r if r is not None else t
 
+    if isinstance(raw, (list, tuple)):
+        # Orbax target-less restore yields a top-level LIST for multi-state
+        # checkpoints (e.g. the SRGAN loop's (gen_state, disc_state) tuple);
+        # promote it the same way merge() promotes nested tuple nodes so a
+        # tuple target (possibly with later-added fields) still merges.
+        raw = {str(i): v for i, v in enumerate(raw)}
     if not isinstance(raw, dict):
         return raw
     merged = merge(tdict, raw)

@@ -49,6 +49,12 @@ from weatherconverter_tpu.ops.image import normalize
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
+# The diffusion span translation noises within (reference N=500,
+# translation.py:56). The DDIM fast path defaults to this too: q-sampling to
+# t=T-1 (alpha_bar ~ 4e-5) would destroy the source image and turn
+# "translation" into near-pure label-guided generation (advisor round 1).
+DEFAULT_TRANSLATE_SPAN = 500
+
 ApplyFn = Callable[[jax.Array, jax.Array], jax.Array]  # (xt, t:(B,)) -> eps
 SRFn = Callable[[jax.Array], jax.Array]  # 128px -> 512px
 SegFn = Callable[[jax.Array], jax.Array]  # 512px -> logits
@@ -187,8 +193,10 @@ def sample_with_sgg_ddim(
     instead of 500-1000, at the same per-step cost, for serving-latency
     translation.
 
-    Semantics: `span_t` (default: the schedule's full T) is the diffusion
-    span; taus stride it evenly. Per step the DDIM update
+    Semantics: `span_t` (default: the translate span, min(500, T) — the
+    span the DDPM translate path and the reference noise within; full-T is
+    an explicit opt-in and means label-guided GENERATION, not translation)
+    is the diffusion span; taus stride it evenly. Per step the DDIM update
         x_prev = sqrt(acp_prev) x0_pred + sqrt(1-acp_prev-sigma_ddim^2) eps
                  + sigma_ddim z        (eta scales sigma_ddim; 0 = ODE)
     takes the role of the DDPM posterior mean, and the semantic-gradient
@@ -204,7 +212,7 @@ def sample_with_sgg_ddim(
 
     from weatherconverter_tpu.diffusion.sampling import strided_taus
 
-    span = sched.T if span_t is None else span_t
+    span = min(DEFAULT_TRANSLATE_SPAN, sched.T) if span_t is None else span_t
     taus, tau_prev = strided_taus(span, num_steps)
     steps = jnp.arange(num_steps - 1, -1, -1)
 

@@ -101,22 +101,26 @@ class BasicBlock(nn.Module):
 
 class Bottleneck(nn.Module):
     """resnet50/101/152 block (1x1 -> 3x3 -> 1x1 x4), expansion 4. The 3x3
-    carries stride and dilation (torchvision semantics, which the reference
-    clones)."""
+    carries stride, dilation, and — for the ResNeXt/wide variants — groups
+    and base_width (width = planes * base_width/64 * groups; reference
+    resnet.py:81-103, torchvision semantics)."""
 
     planes: int
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
     train: bool = False
     dtype: Dtype = jnp.float32
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = ConvBN(self.planes, 1, train=self.train, dtype=self.dtype, name="conv1")(x)
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        h = ConvBN(width, 1, train=self.train, dtype=self.dtype, name="conv1")(x)
         h = nn.relu(h)
-        h = ConvBN(self.planes, 3, self.stride, self.dilation, train=self.train, dtype=self.dtype, name="conv2")(h)
+        h = ConvBN(width, 3, self.stride, self.dilation, groups=self.groups, train=self.train, dtype=self.dtype, name="conv2")(h)
         h = nn.relu(h)
         h = ConvBN(self.planes * 4, 1, train=self.train, dtype=self.dtype, name="conv3")(h)
         if self.has_downsample:
@@ -146,12 +150,25 @@ class ResNet(nn.Module):
     layers: Sequence[int]
     bottleneck: bool = True
     replace_stride_with_dilation: Sequence[bool] = (False, False, True)
+    groups: int = 1
+    base_width: int = 64
     train: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
-        block_cls = Bottleneck if self.bottleneck else BasicBlock
+        if self.bottleneck:
+            from functools import partial
+
+            block_cls = partial(
+                Bottleneck, groups=self.groups, base_width=self.base_width
+            )
+        else:
+            if self.groups != 1 or self.base_width != 64:
+                raise ValueError(
+                    "BasicBlock only supports groups=1 and base_width=64"
+                )  # reference resnet.py:46-47
+            block_cls = BasicBlock
         expansion = 4 if self.bottleneck else 1
 
         h = ConvBN(64, 7, 2, train=self.train, dtype=self.dtype, name="stem")(x)
@@ -204,3 +221,24 @@ def resnet101(**kw) -> ResNet:
 
 def resnet152(**kw) -> ResNet:
     return ResNet(layers=(3, 8, 36, 3), bottleneck=True, **kw)
+
+
+def resnext50_32x4d(**kw) -> ResNet:
+    """(reference resnet.py:285-297 — groups=32, width_per_group=4)."""
+    return ResNet(layers=(3, 4, 6, 3), bottleneck=True, groups=32, base_width=4, **kw)
+
+
+def resnext101_32x8d(**kw) -> ResNet:
+    """(reference resnet.py:299-311 — groups=32, width_per_group=8)."""
+    return ResNet(layers=(3, 4, 23, 3), bottleneck=True, groups=32, base_width=8, **kw)
+
+
+def wide_resnet50_2(**kw) -> ResNet:
+    """(reference resnet.py:314-330 — width_per_group=128: 2x-wide inner 3x3,
+    outer 1x1 channels unchanged)."""
+    return ResNet(layers=(3, 4, 6, 3), bottleneck=True, base_width=128, **kw)
+
+
+def wide_resnet101_2(**kw) -> ResNet:
+    """(reference resnet.py:333-348 — width_per_group=128)."""
+    return ResNet(layers=(3, 4, 23, 3), bottleneck=True, base_width=128, **kw)

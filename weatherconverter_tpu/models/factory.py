@@ -61,7 +61,7 @@ def make_seg_model(
         raise NotImplementedError(f"unknown model name {name!r}")
 
     kw = dict(train=train, dtype=dtype)
-    if backbone_name.startswith("resnet"):
+    if backbone_name.startswith(("resnet", "resnext", "wide_resnet")):
         rswd, aspp = _resnet_cfg(output_stride)
         ctor = getattr(resnet, backbone_name, None)
         if ctor is None:
@@ -97,5 +97,7 @@ SUPPORTED_MODELS = [
     f"{arch}_{bb}"
     for arch in ("deeplabv3", "deeplabv3plus")
     for bb in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+               "resnext50_32x4d", "resnext101_32x8d",
+               "wide_resnet50_2", "wide_resnet101_2",
                "mobilenet", "xception", "hrnetv2_32", "hrnetv2_48")
 ]

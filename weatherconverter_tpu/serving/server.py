@@ -78,6 +78,15 @@ class TranslationService:
         from weatherconverter_tpu.models.srgan import Generator
         from weatherconverter_tpu.models.unet import Unet
 
+        if sampler == "ddim" and cfg.guidance.mode == "reference":
+            # the DDIM path has no analog of the reference's xt-overwrite:
+            # mode='reference' would silently serve UNGUIDED samples from
+            # every /v1/translate request (advisor round 1) — refuse upfront
+            raise ValueError(
+                "sampler='ddim' with guidance.mode='reference' disables "
+                "guidance entirely; use mode='fixed' for guided DDIM serving "
+                "or sampler='ddpm' to replicate the reference behavior"
+            )
         self._encode_target = encode_target
         self.cfg = cfg
         dcfg = cfg.diffusion
@@ -130,6 +139,9 @@ class TranslationService:
         lam = cfg.guidance.lambda_
         num_classes = cfg.seg.model.num_classes
         mode = cfg.guidance.mode
+        # DDIM taus stride the translate span, not full T: noising to t=T-1
+        # destroys the source image (advisor round 1)
+        ddim_span = cfg.guidance.num_steps
         # translate and unconditional-sample defaults are SEPARATE: the ddim
         # fast-translate default must not silently shorten /v1/sample chains
         self.sample_steps = steps or cfg.guidance.num_steps
@@ -148,7 +160,7 @@ class TranslationService:
                         lambda x: seg.apply(sv, x),
                         lambda x: gen.apply(gv, x),
                         im[None], g[None], k,
-                        lam=lam, num_steps=translate_steps,
+                        lam=lam, num_steps=translate_steps, span_t=ddim_span,
                         num_classes=num_classes, mode=mode,
                     )[0]
                 return sample_with_sgg(
