@@ -58,8 +58,21 @@ def parse_args():
         help="throughput batch; 8 saturates one v5e chip for this pipeline",
     )
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--sr", type=int, default=None,
+                   help="SRGAN upscale factor for translate modes (default 2 "
+                        "= 256px guidance, the north-star shape; 4 = 512px, "
+                        "the reference translation.py shape for "
+                        "apples-to-apples with scripts/baseline_torch.py)")
+    p.add_argument("--quick", action="store_true",
+                   help="translate-alternate only: measure steps//10 and "
+                        "extrapolate (official runs measure the full length)")
     p.add_argument("--tiny", action="store_true", help="tiny models (CPU smoke)")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument("--no-int8-attn", action="store_true",
+                   help="disable the int8-QK^T flash-attention inference path "
+                        "(default ON for the forward-only translate/sample "
+                        "modes on TPU; training always uses exact bf16). "
+                        "Quality impact validated in situ: see PROFILE.md r4")
     return p.parse_args()
 
 
@@ -89,6 +102,14 @@ def main():
     on_tpu = dev.platform in ("tpu", "axon")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    # forward-only modes take the int8-QK^T flash path on TPU (2x MXU rate at
+    # the UNet's D=64 head depth); `train` differentiates through attention
+    # and always keeps the exact bf16 kernel with its custom VJP
+    if (on_tpu and not args.no_int8_attn
+            and args.mode in ("translate", "translate-alternate",
+                              "translate-ddim", "sample")):
+        os.environ.setdefault("WCTPU_ATTN_QK_INT8", "1")
+
     if args.tiny:
         ucfg = UnetModelConfig(
             im_size=16, down_channels=[8, 16, 24], mid_channels=[24, 24, 16],
@@ -96,11 +117,11 @@ def main():
             num_mid_layers=1, num_up_layers=1, num_heads=2, attn_resolutions=[8],
         )
         steps = min(args.steps or 1000, 8)
-        seg_name, sr_factor = "deeplabv3plus_resnet18", 2
+        seg_name, sr_factor = "deeplabv3plus_resnet18", (args.sr or 2)
     else:
         ucfg = UnetModelConfig()  # production 128px ladder
         steps = args.steps if args.steps is not None else 1000
-        seg_name, sr_factor = "deeplabv3plus_resnet101", 2
+        seg_name, sr_factor = "deeplabv3plus_resnet101", (args.sr or 2)
 
     unet = Unet(config=ucfg, fused=on_tpu, dtype=dtype)
     sched = linear_schedule(1000)
@@ -248,31 +269,85 @@ def main():
         return
 
     style = "alternate" if args.mode == "translate-alternate" else "gsg"
-    bench_steps = steps if style == "gsg" else max(steps // 10, 2)
+    # VERDICT r1 item 6: the official alternate number is measured at FULL
+    # length; --quick restores the old steps//10 extrapolation for smokes
+    bench_steps = steps if style == "gsg" or not args.quick else max(steps // 10, 2)
 
-    def run(up, sv, gv, g, k):
-        k1, k2 = jax.random.split(k)
-        inp = jax.random.normal(k1, (B, H, H, 3)) * 0.2
-        diff_fn = lambda xt, tt: unet.apply({"params": up}, xt, tt)
-        seg_fn = lambda img: seg.apply(sv, img)
-        sr_fn = lambda img: gen.apply(gv, img)
-        return sample_with_sgg(
-            diff_fn, sched, seg_fn, sr_fn, inp, g, k2,
-            lam=60.0, num_steps=bench_steps, num_classes=19, mode="fixed",
-            start_t=bench_steps - 1, guidance_style=style,
-        )
+    diff_fn_of = lambda up: (lambda xt, tt: unet.apply({"params": up}, xt, tt))
+    seg_fn_of = lambda sv: (lambda img: seg.apply(sv, img))
+    sr_fn_of = lambda gv: (lambda img: gen.apply(gv, img))
 
-    f = jax.jit(run)
-    force(f(uparams, seg_vars, gvars, gt, jax.random.PRNGKey(7)))
-    times = []
-    for i in range(args.repeats):
-        k = jax.random.PRNGKey(8 + i)
-        force(k)
-        t0 = time.perf_counter()
-        force(f(uparams, seg_vars, gvars, gt, k))
-        times.append(time.perf_counter() - t0)
+    # The tunneled backend kills single executions past ~60 s; the full-length
+    # alternate chain is ~76 s in one call. Segment it into SEG-step jitted
+    # calls chained through the carried latent (identical semantics,
+    # guidance/translate.py xt_init/t_offset) — the timed window covers all
+    # `steps` real steps INCLUDING the inter-call dispatch overhead.
+    SEG = 100
+    segmented = style == "alternate" and not args.quick and bench_steps >= 2 * SEG
+
+    if segmented:
+        nseg = bench_steps // SEG
+
+        def first_run(up, sv, gv, g, k):
+            k1, k2 = jax.random.split(k)
+            inp = jax.random.normal(k1, (B, H, H, 3)) * 0.2
+            return sample_with_sgg(
+                diff_fn_of(up), sched, seg_fn_of(sv), sr_fn_of(gv), inp, g, k2,
+                lam=60.0, num_steps=SEG, num_classes=19, mode="fixed",
+                start_t=bench_steps - 1, guidance_style=style,
+                t_offset=bench_steps - SEG, final_sr=False,
+            )
+
+        def seg_run(up, sv, gv, g, xt, off, k):
+            return sample_with_sgg(
+                diff_fn_of(up), sched, seg_fn_of(sv), sr_fn_of(gv), xt, g, k,
+                lam=60.0, num_steps=SEG, num_classes=19, mode="fixed",
+                guidance_style=style, xt_init=xt, t_offset=off, final_sr=False,
+            )
+
+        first_j = jax.jit(first_run)
+        seg_j = jax.jit(seg_run)
+        sr_j = jax.jit(lambda gv, x0: gen.apply(gv, x0))
+
+        def chain(kbase):
+            xt, kc = first_j(uparams, seg_vars, gvars, gt, kbase)
+            for s in range(1, nseg):
+                off = jnp.int32(bench_steps - (s + 1) * SEG)
+                xt, kc = seg_j(uparams, seg_vars, gvars, gt, xt, off, kc)
+            return sr_j(gvars, xt)
+
+        force(chain(jax.random.PRNGKey(7)))
+        times = []
+        for i in range(args.repeats):
+            k = jax.random.PRNGKey(8 + i)
+            force(k)
+            t0 = time.perf_counter()
+            force(chain(k))
+            times.append(time.perf_counter() - t0)
+        per_step = min(times) / bench_steps
+    else:
+        def run(up, sv, gv, g, k):
+            k1, k2 = jax.random.split(k)
+            inp = jax.random.normal(k1, (B, H, H, 3)) * 0.2
+            return sample_with_sgg(
+                diff_fn_of(up), sched, seg_fn_of(sv), sr_fn_of(gv), inp, g, k2,
+                lam=60.0, num_steps=bench_steps, num_classes=19, mode="fixed",
+                start_t=bench_steps - 1, guidance_style=style,
+            )
+
+        f = jax.jit(run)
+        force(f(uparams, seg_vars, gvars, gt, jax.random.PRNGKey(7)))
+        times = []
+        for i in range(args.repeats):
+            k = jax.random.PRNGKey(8 + i)
+            force(k)
+            t0 = time.perf_counter()
+            force(f(uparams, seg_vars, gvars, gt, k))
+            times.append(time.perf_counter() - t0)
+        per_step = min(times) / bench_steps
+
     # per-step time extrapolated to the full `steps`-step translation
-    per_step = min(times) / bench_steps
+    # (no extrapolation when bench_steps == steps — the official runs)
     value = B * 60.0 / (per_step * steps)
     suffix = "_alternate_lcg_gsg" if style == "alternate" else ""
     print(json.dumps({

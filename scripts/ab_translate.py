@@ -5,7 +5,10 @@ transfer on this backend — every candidate optimization gets timed HERE, on
 the exact program bench.py ships, before it may land. Variants are toggled
 by env flags read inside weatherconverter_tpu (set them before launch).
 
-Usage: [WCTPU_*=...] python scripts/ab_translate.py [K] [B] [label]
+Usage: [WCTPU_*=...] python scripts/ab_translate.py [K] [B] [label] [style]
+`style` is gsg (default, the headline) or alternate (even->LCG, the
+reference's flagship schedule — use it for LCG-side A/Bs like
+WCTPU_LCG_CLASS_CHUNK).
 Prints: one line `label  ms/step  (extrap /min at 1000 steps)`.
 """
 
@@ -35,6 +38,7 @@ from weatherconverter_tpu.models.unet import Unet
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 label = sys.argv[3] if len(sys.argv) > 3 else "base"
+style = sys.argv[4] if len(sys.argv) > 4 else "gsg"
 H, SR = 128, 2
 HR = H * SR
 
@@ -64,7 +68,7 @@ def run(params, key):
         lambda im: gen.apply(gv_, im),
         inp, gt, k2,
         lam=60.0, num_steps=K, num_classes=19, mode="fixed",
-        start_t=K - 1, guidance_style="gsg",
+        start_t=K - 1, guidance_style=style,
     )
 
 

@@ -84,6 +84,36 @@ def test_cli_quality_synthetic_report(tiny_cfg, tmp_path):
     assert report["fid_kind"].startswith("seg_backbone")
 
 
+def test_cli_quality_with_inception_checkpoint(tiny_cfg, tmp_path):
+    """Real-FID wired end-to-end (VERDICT r1 item 7): `quality
+    --inception-checkpoint <torchvision-layout .pth>` loads the checkpoint
+    through compat.torch_import.convert_inception_v3 and reports
+    inception_v3_pool3 FID instead of the backbone fallback. The weights are
+    synthetic (random-init in the exact torchvision state-dict layout — the
+    importer itself has random-weight output parity vs an independent torch
+    oracle in test_losses_metrics.py); the test proves the CLI path, not a
+    published-FID number."""
+    import torch
+    from test_losses_metrics import _torch_inception_v3_features
+
+    pth = tmp_path / "inception_synthetic.pth"
+    torch.save(_torch_inception_v3_features().state_dict(), str(pth))
+
+    out = tmp_path / "quality_inception.json"
+    rc = main([
+        "quality", "--config", tiny_cfg, "--synthetic", "4", "--batch", "2",
+        "--steps", "2", "--inception-checkpoint", str(pth), "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["fid_kind"] == "inception_v3_pool3"
+    # random-weight inception pool3 features are near input-invariant (the
+    # 90-layer collapse measured in scripts/fid_relationship.py), so the FID
+    # VALUE is ~0 here — the assertion is that the path runs and is finite;
+    # discriminative FID needs trained weights via --inception-checkpoint
+    assert np.isfinite(report["fid_original_vs_translated"])
+
+
 def test_cli_super_resolve(tmp_path):
     """`super-resolve` upscales one image by the config factor (reference:
     srgan_model/inference.py standalone entry)."""

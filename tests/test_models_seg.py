@@ -130,3 +130,18 @@ def test_separable_head_variant():
     assert "depthwise" in v["params"]["head"]["aspp"]["atrous0"]
     out = m.apply(v, jnp.zeros((1, 32, 32, 3)))
     assert out.shape == (1, 32, 32, 4)
+
+
+def test_bn_momentum_pinned_per_factory_call():
+    """make_seg_model ALWAYS pins the process BN-momentum knob — an explicit
+    value configures that model; omitting it restores the torch default 0.1
+    instead of inheriting whatever a previous model set (a leaked 0.01 from
+    a seg training run changed a later quality-gate run's trained weights:
+    round-4 order-dependent flake)."""
+    from weatherconverter_tpu.models.factory import make_seg_model
+    from weatherconverter_tpu.models.norm import bn_momentum
+
+    make_seg_model("deeplabv3_resnet18", num_classes=4, bn_momentum=0.01)
+    assert abs(bn_momentum() - (1.0 - 0.01)) < 1e-9
+    make_seg_model("deeplabv3_resnet18", num_classes=4)
+    assert abs(bn_momentum() - (1.0 - 0.1)) < 1e-9

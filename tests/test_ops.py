@@ -96,6 +96,33 @@ def test_multi_head_attention_dispatch(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_flash_attention_int8_qk_matches_reference(rng, monkeypatch):
+    """The inference-only int8-QK^T flash path (WCTPU_ATTN_QK_INT8=1, the
+    shipped translate/sample configuration) stays within quantization
+    tolerance of exact attention at the production shape class (N>=1024,
+    D=64 — the UNet's 64^2 resolution heads)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    b, h, n, d = 1, 2, 1024, 64
+    q = jax.random.normal(k1, (b, h, n, d), dtype=jnp.float32)
+    k = jax.random.normal(k2, (b, h, n, d), dtype=jnp.float32)
+    v = jax.random.normal(k3, (b, h, n, d), dtype=jnp.float32)
+    ref = A.attention_reference(q, k, v)
+
+    monkeypatch.setenv("WCTPU_ATTN_QK_INT8", "1")
+    out = A.multi_head_attention(q, k, v)
+    # int8 scores perturb softmax logits by ~ (max|q|max|k|/127^2)*D/sqrt(D);
+    # outputs are convex combinations of v so the error stays bounded (N(0,1)
+    # inputs are the worst case — learned projections concentrate |q|,|k|)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.std(ref))
+    assert err < 0.25 * scale, (err, scale)
+    assert float(jnp.mean(jnp.abs(out - ref))) < 0.03 * scale
+
+    monkeypatch.setenv("WCTPU_ATTN_QK_INT8", "0")
+    exact = A.multi_head_attention(q, k, v)
+    np.testing.assert_allclose(exact, A.flash_attention(q, k, v), rtol=0, atol=0)
+
+
 # ---------------------------------------------------------------------------
 # groupnorm
 # ---------------------------------------------------------------------------

@@ -12,6 +12,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _enable_int8_attn_inference(args) -> None:
+    """Forward-only commands default to the int8-QK^T flash-attention path on
+    real TPU hardware (2x MXU rate at the UNet's D=64 head depth; quality
+    validated in situ — PROFILE.md round 4). Training commands never call
+    this: the int8 pallas_call has no VJP, training keeps exact bf16.
+    Opt out with --no-int8-attn."""
+    if getattr(args, "no_int8_attn", False):
+        return
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        os.environ.setdefault("WCTPU_ATTN_QK_INT8", "1")
+
+
 def _load_unet_params(model, checkpoint, cfg, key):
     """Checkpoint may be a torch .ckpt (bridged via compat), an orbax dir, an
     .npz, or None (random init — useful for smoke runs)."""
@@ -65,6 +77,7 @@ def run_sample(args) -> int:
     from weatherconverter_tpu.utils.images import save_images
 
     cfg = load_diffusion_config(args.config)
+    _enable_int8_attn_inference(args)
     sched = make_schedule(
         cfg.diffusion.schedule, cfg.diffusion.num_timesteps,
         cfg.diffusion.beta_start, cfg.diffusion.beta_end,
@@ -157,6 +170,7 @@ def run_translate(args) -> int:
 
     cfg = load_translation_config(args.config)
     on_tpu = jax.devices()[0].platform == "tpu"
+    _enable_int8_attn_inference(args)
     key = jax.random.PRNGKey(args.seed)
     k1, k2, k3, k4 = jax.random.split(key, 4)
 

@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--batch", type=int, default=8)
     sa.add_argument("--out", default="outputs/samples/sample.png")
     sa.add_argument("--seed", type=int, default=0)
+    sa.add_argument("--no-int8-attn", action="store_true",
+                    help="keep exact bf16 flash attention (default on TPU: "
+                         "int8 QK^T, 2x MXU rate — PROFILE.md round 4)")
 
     tr = sub.add_parser("translate", help="guided weather translation")
     tr.add_argument("--config", default=None, help="translation config YAML")
@@ -73,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="diffusion span the DDIM taus stride (default: the translate "
                          "span cfg.guidance.num_steps, which preserves source content; "
                          "pass the schedule's full T for label-guided generation)")
+    tr.add_argument("--no-int8-attn", action="store_true",
+                    help="keep exact bf16 flash attention (default on TPU: "
+                         "int8 QK^T, 2x MXU rate — PROFILE.md round 4)")
 
     iv = sub.add_parser("infer-seg", help="segmentation inference + gradient probe")
     iv.add_argument("--config", default=None)
@@ -107,6 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--ddpm-checkpoint", default=None)
     sv.add_argument("--seg-checkpoint", default=None)
     sv.add_argument("--srgan-checkpoint", default=None)
+    sv.add_argument("--no-int8-attn", action="store_true",
+                    help="keep exact bf16 flash attention (default on TPU: "
+                         "int8 QK^T, 2x MXU rate — PROFILE.md round 4)")
 
     vz = sub.add_parser("visualize", help="forward/backward process strips")
     vz.add_argument("--config", default=None)
@@ -214,9 +223,11 @@ def main(argv=None) -> int:
 
         return run_infer_seg(args)
     if args.command == "serve":
+        from weatherconverter_tpu.cli.commands import _enable_int8_attn_inference
         from weatherconverter_tpu.core.config import load_translation_config
         from weatherconverter_tpu.serving.server import TranslationService, serve
 
+        _enable_int8_attn_inference(args)
         cfg = load_translation_config(args.config)
         service = TranslationService(
             cfg, args.ddpm_checkpoint, args.seg_checkpoint, args.srgan_checkpoint,

@@ -33,6 +33,7 @@ Known reference defects, handled behind `mode`:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable
 
@@ -171,6 +172,9 @@ def apply_lcg(
     reference's 512px-mask x 128px-latent shape bug, sgg.py:58).
     """
     pool = sr_xt.shape[1] // mu.shape[1]
+    # trace-time A/B override for the in-situ chunk sweep (PROFILE.md r4;
+    # scripts/ab_translate.py sets it) — shipped default stays class_chunk=4
+    class_chunk = int(os.environ.get("WCTPU_LCG_CLASS_CHUNK", class_chunk))
     g = max(1, min(class_chunk, num_classes))
     num_padded = -(-num_classes // g) * g
     # padded class ids >= num_classes produce all-zero masks -> zero

@@ -77,6 +77,9 @@ def sample_with_sgg(
     guidance_every: int = 1,
     guidance_style: str = "alternate",
     spatial_mesh=None,
+    xt_init: Optional[jax.Array] = None,
+    t_offset: Optional[jax.Array] = None,
+    final_sr: bool = True,
 ) -> jax.Array:
     """Returns the translated image upscaled to 512px in [0, 1]
     (reference: translation.py:95 final SRGAN pass).
@@ -89,6 +92,19 @@ def sample_with_sgg(
     schedule (translation.py:84-87); 'gsg' / 'lcg' = that operator every
     guided step; 'none' = plain ancestral chain.
 
+    `xt_init` / `t_offset` / `final_sr` segment the reverse chain into
+    multiple jitted calls with BIT-IDENTICAL semantics: with `final_sr=False`
+    the call returns `(latent, key)` instead of the SRGAN pass; the next
+    segment passes them back as `xt_init` / `key` (a continuation consumes
+    `key` exactly as the single-call scan would — no entry split) and scans
+    timesteps `t_offset + num_steps - 1 .. t_offset` (`t_offset` may be a
+    TRACED scalar, so one compiled program serves every continuation).
+    Chaining segments over the full span reproduces the single-call chain
+    step-for-step (tests/test_guidance.py equivalence test). Needed on
+    backends that bound single-execution wall time (the tunneled v5e kills
+    ~>60 s calls — the full-length alternate schedule is ~76 s in one call);
+    also the building block for checkpointed very-long chains.
+
     `spatial_mesh`: a ('data', 'space') mesh (parallel/spatial.py) shards the
     HIGH-RESOLUTION half of every step — the SRGAN output and the seg
     fwd+input-grad over it — along image height across devices; XLA inserts
@@ -100,15 +116,23 @@ def sample_with_sgg(
         raw_seg_fn = seg_fn
         seg_fn = lambda x: raw_seg_fn(normalize(x, IMAGENET_MEAN, IMAGENET_STD))
 
-    key, tkey, nkey = jax.random.split(key, 3)
-    if start_t is None:
-        t0 = jax.random.randint(tkey, (input_128.shape[0],), 0, num_steps)
+    if xt_init is not None:
+        # segment continuation: consume `key` exactly as the single-call scan
+        # would from this point (no entry split), so chained segments are
+        # bit-identical to one uninterrupted call
+        xt = xt_init
     else:
-        t0 = jnp.full((input_128.shape[0],), start_t, dtype=jnp.int32)
-    noise0 = jax.random.normal(nkey, input_128.shape, dtype=input_128.dtype)
-    xt = q_sample(sched, input_128, noise0, t0)
+        key, tkey, nkey = jax.random.split(key, 3)
+        if start_t is None:
+            t0 = jax.random.randint(tkey, (input_128.shape[0],), 0, num_steps)
+        else:
+            t0 = jnp.full((input_128.shape[0],), start_t, dtype=jnp.int32)
+        noise0 = jax.random.normal(nkey, input_128.shape, dtype=input_128.dtype)
+        xt = q_sample(sched, input_128, noise0, t0)
 
     ts = jnp.arange(num_steps - 1, -1, -1)
+    if t_offset is not None:
+        ts = ts + jnp.asarray(t_offset, dtype=ts.dtype)
 
     def body(carry, i):
         xt, key = carry
@@ -166,8 +190,10 @@ def sample_with_sgg(
             xt_next = xt_guided
         return (xt_next, key), None
 
-    (x0, _), _ = jax.lax.scan(body, (xt, key), ts)
-    return sr_fn(x0)
+    (x0, key_out), _ = jax.lax.scan(body, (xt, key), ts)
+    if final_sr:
+        return sr_fn(x0)
+    return x0, key_out
 
 
 def sample_with_sgg_ddim(

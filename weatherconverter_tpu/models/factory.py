@@ -48,11 +48,15 @@ def make_seg_model(
     `bn_momentum` (torch convention) replicates the reference's
     `set_bn_momentum(model.backbone, 0.01)` (seg train.py:285 +
     utils.py:31-34) via the process-level knob in models/norm.py.
+    The knob is ALWAYS pinned here — to `bn_momentum` when given, else back
+    to the torch default 0.1 — so a momentum configured for one model can
+    never silently leak into the next one built (a 0.01 left behind by a
+    seg training run changed a later quality-gate run's trained weights:
+    order-dependent test flake, round 4).
     """
-    if bn_momentum is not None:
-        from weatherconverter_tpu.models.norm import set_bn_momentum
+    from weatherconverter_tpu.models.norm import set_bn_momentum
 
-        set_bn_momentum(bn_momentum)
+    set_bn_momentum(0.1 if bn_momentum is None else bn_momentum)
     if name.startswith("deeplabv3plus_"):
         arch, backbone_name = "deeplabv3plus", name[len("deeplabv3plus_"):]
     elif name.startswith("deeplabv3_"):

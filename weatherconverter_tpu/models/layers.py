@@ -6,6 +6,7 @@ conversion between the two lives in compat/torch_import.py.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -61,6 +62,19 @@ class SelfAttention2D(nn.Module):
         # statistics over (group-channels x positions), identical to spatial GN.
         xin = GroupNormSiLU(num_groups=8, fused=self.fused, silu=False, name="norm")(x)
         tokens = xin.reshape(b, h * w, c)
+        if os.environ.get("WCTPU_ATTN_SKIP_PROJ", "0") == "1":
+            # TIMING PROBE ONLY (scripts/ab_translate.py): wrong math — runs
+            # attention on un-projected tokens to bound what fusing the
+            # qkv/out projections into the kernel could ever save.
+            def heads_(t):
+                return t.reshape(b, h * w, hn, d).transpose(0, 2, 1, 3)
+
+            out = multi_head_attention(
+                heads_(tokens), heads_(tokens), heads_(tokens),
+                use_pallas=self.fused,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+            return x + out
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(tokens)  # (B, N, 3C)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 

@@ -17,11 +17,32 @@ image self-attention.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Inference-only int8 path for the flash kernel's QK^T contraction. v5e's
+# MXU runs int8 contractions at 2x the bf16 rate — exactly where the UNet's
+# D=64 heads fill only half the 128-deep contraction (PROFILE.md round 4:
+# 25.43 -> 25.02 ms/step in situ). FORWARD ONLY — the i8 pallas_call has no
+# VJP, so training paths must leave the flag unset (the loops never set it;
+# bench.py/CLI set it for translate/sample). PV-int8 was measured slower
+# with 10x the error and is kept only for A/B (scripts/ab_translate.py).
+#
+# Quantization stays OUTSIDE the kernel (XLA per-tensor scales): an in-kernel
+# per-row variant (quantize q/k + rank-1 dequant of the score tile inside the
+# kernel) measured 28.17 ms/step in situ vs 25.04 — the extra VPU passes on
+# the (block_q, N) tile cost 3x what the saved HBM passes are worth. Deleted
+# rather than shipped dark (PROFILE.md round-4 log; git history has it).
+def _qk_int8() -> bool:
+    return os.environ.get("WCTPU_ATTN_QK_INT8", "0") == "1"
+
+
+def _pv_int8() -> bool:
+    return os.environ.get("WCTPU_ATTN_PV_INT8", "0") == "1"
 
 # f32 exp is exact-softmax-safe to ~88; the clamp replaces a per-row max pass
 # (see _flash_kernel). Forward and backward must agree on this constant.
@@ -84,6 +105,91 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _flash_kernel_qk_i8(
+    q_ref, k_ref, v_ref, sc_ref, o_ref, *, block_k: int, pv_int8: bool
+):
+    """Flash forward with the QK^T contraction in int8 (per-tensor scales).
+
+    q/k arrive pre-quantized (symmetric round-to-nearest, scale = max|x|/127
+    over the whole tensor — computed outside the kernel where XLA fuses it
+    into the projection epilogue). The int32 score is rescaled by the single
+    f32 factor qs*ks*D^-0.5 read from SMEM; softmax is unchanged.
+
+    pv_int8 additionally runs the PV matmul in int8: p is quantized per ROW
+    (scale = row max, so the dominant probabilities keep ~7 bits; entries
+    below max/254 truncate to zero, which the softmax tail tolerates), v
+    per tensor (sc_ref[1]); the row scale and 1/l fold into the single
+    (block_q, D) output rescale."""
+    q = q_ref[0]  # (block_q, D) int8
+    k = k_ref[0]  # (N, D) int8
+    v = v_ref[0]  # (N, D) bf16 or int8
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = s.astype(jnp.float32) * sc_ref[0]  # (block_q, N)
+    p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP))
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if pv_int8:
+        pmax = jnp.max(p, axis=-1, keepdims=True)  # (block_q, 1), > 0
+        p8 = jnp.round(p * (127.0 / pmax)).astype(jnp.int8)
+        o = jax.lax.dot_general(
+            p8, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        o = o * (pmax * (sc_ref[1] / 127.0) / l)
+    else:
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = o / l
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_attention_fwd_i8_impl(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, block_q: int, interpret: bool,
+    pv_int8: bool = False,
+) -> jax.Array:
+    b, h, n, d = q.shape
+    bh = b * h
+    qr = q.reshape(bh, n, d).astype(jnp.float32)
+    kr = k.reshape(bh, n, d).astype(jnp.float32)
+    vr = v.reshape(bh, n, d)
+    # symmetric per-tensor quantization; scales stay dynamic (traced)
+    qs = jnp.maximum(jnp.max(jnp.abs(qr)), 1e-6) / 127.0
+    ks = jnp.maximum(jnp.max(jnp.abs(kr)), 1e-6) / 127.0
+    q8 = jnp.round(qr / qs).astype(jnp.int8)
+    k8 = jnp.round(kr / ks).astype(jnp.int8)
+    if pv_int8:
+        vsc = jnp.maximum(jnp.max(jnp.abs(vr.astype(jnp.float32))), 1e-6) / 127.0
+        vin = jnp.round(vr.astype(jnp.float32) / vsc).astype(jnp.int8)
+    else:
+        vsc = jnp.float32(1.0)
+        vin = vr
+    scale = jnp.stack(
+        [(qs * ks / (d**0.5)).astype(jnp.float32), vsc.astype(jnp.float32)]
+    )
+
+    grid = (bh, n // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_qk_i8, block_k=block_q, pv_int8=pv_int8),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(q8, k8, vin, scale)
+    return out.reshape(b, h, n, d)
 
 
 def _flash_attention_fwd_impl(
@@ -279,4 +385,15 @@ def multi_head_attention(
     n, d = q.shape[2], q.shape[3]
     if not use_pallas or n % 128 != 0 or n < FLASH_MIN_SEQ:
         return attention_reference(q, k, v)
+    if _qk_int8():
+        # forward-only path (sampling/translation); training keeps bf16.
+        # block_q swept in situ for the i8 kernel specifically (PROFILE.md
+        # r4): 512 (the bf16 optimum) stands; WCTPU_ATTN_I8_BQ for A/B.
+        bq, _ = _pick_blocks(n)
+        bq_env = os.environ.get("WCTPU_ATTN_I8_BQ")
+        if bq_env and n % int(bq_env) == 0:
+            bq = int(bq_env)
+        return _flash_attention_fwd_i8_impl(
+            q, k, v, block_q=bq, interpret=not _on_tpu(), pv_int8=_pv_int8()
+        )
     return flash_attention(q, k, v)
