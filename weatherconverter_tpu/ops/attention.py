@@ -29,8 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 # D=64 heads fill only half the 128-deep contraction (PROFILE.md round 4:
 # 25.43 -> 25.02 ms/step in situ). FORWARD ONLY — the i8 pallas_call has no
 # VJP, so training paths must leave the flag unset (the loops never set it;
-# bench.py/CLI set it for translate/sample). PV-int8 was measured slower
-# with 10x the error and is kept only for A/B (scripts/ab_translate.py).
+# bench.py/CLI set it for translate/sample). Quality: over a 1000-step
+# guided chain the int8 trajectory diverges exactly at the CHAOS FLOOR of a
+# same-scale innocuous input perturbation (corr 0.9885 vs floor 0.9884, seg
+# agreement 0.9972 vs 0.9971 — scripts/int8_quality_check.py), i.e. no
+# systematic error beyond the quantization noise scale. PV-int8 was
+# measured slower with 10x the error and is kept only for A/B
+# (scripts/ab_translate.py).
 #
 # Quantization stays OUTSIDE the kernel (XLA per-tensor scales): an in-kernel
 # per-row variant (quantize q/k + rank-1 dequant of the score tile inside the
@@ -43,6 +48,12 @@ def _qk_int8() -> bool:
 
 def _pv_int8() -> bool:
     return os.environ.get("WCTPU_ATTN_PV_INT8", "0") == "1"
+
+
+# A bf16-exp variant of the i8 kernel (softmax exp on the (bq, N) tile in
+# bf16 for 2x VPU lanes) measured 26.0 ms/step in situ vs 25.0 — Mosaic
+# lowers bf16 exp through f32, so it only added converts. Deleted
+# (PROFILE.md round-4 log; git history has it).
 
 # f32 exp is exact-softmax-safe to ~88; the clamp replaces a per-row max pass
 # (see _flash_kernel). Forward and backward must agree on this constant.
