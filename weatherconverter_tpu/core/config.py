@@ -93,6 +93,9 @@ class TrainingConfig(BaseModel):
     # False to treat batch_size as global (reference semantics).
     scale_batch_to_mesh: bool = True
     scale_lr_with_batch: bool = False  # linear LR scaling when batch grows
+    # ZeRO-3-style param/opt-state sharding across the data mesh
+    # (parallel/fsdp.py); DP-replicated state when False (the default)
+    fsdp: bool = False
 
 
 class FolderConfig(BaseModel):
@@ -151,6 +154,7 @@ class SegTrainingConfig(BaseModel):
     data_axis: str = "data"
     scale_batch_to_mesh: bool = True  # batch_size is per-device (see diffusion)
     scale_lr_with_batch: bool = False
+    fsdp: bool = False  # ZeRO-3 state sharding (parallel/fsdp.py)
 
 
 class JitterConfig(BaseModel):

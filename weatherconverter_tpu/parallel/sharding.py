@@ -15,10 +15,11 @@ Tensor parallelism is an explicit NON-goal (round-2 decision): the widest
 layer in any model here is the UNet's 768-channel ladder at 16px — a few MB
 of params and activations per chip — so a single v5e chip holds every model
 with large headroom, and TP would spend ICI bandwidth to split work that
-doesn't need splitting. DP (this module) plus multi-host DP
-(parallel/distributed.py) are the scaling axes. Round 1 declared a 'model'
-mesh axis no code ever sharded over; per review it is REMOVED rather than
-carried as a name without a user.
+doesn't need splitting. DP (this module), multi-host DP
+(parallel/distributed.py), spatial sharding (parallel/spatial.py), and
+FSDP/ZeRO-3 state sharding (parallel/fsdp.py) are the scaling axes. Round 1
+declared a 'model' mesh axis no code ever sharded over; per review it is
+REMOVED rather than carried as a name without a user.
 """
 
 from __future__ import annotations

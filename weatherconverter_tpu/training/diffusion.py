@@ -108,13 +108,20 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     augment_fn=None,
+    fsdp: bool = False,
 ):
     """Compile the DDPM train step, optionally laid out over a DP mesh.
 
     With a mesh, `images` must be sharded over ('data',) on its batch dim and
     the state replicated (see parallel.sharding.shard_batch / replicate);
     jit then compiles per-device compute + one ICI psum for the grads.
-    """
+
+    With `fsdp=True` the state keeps whatever per-leaf shardings it arrives
+    committed with (parallel.fsdp.shard_state_fsdp's ZeRO-3 layout: params +
+    Adam moments + EMA sharded across 'data'); XLA inserts the all-gather at
+    param use and reduce-scatters the grads, and donation keeps the updated
+    shards in place. The step BODY is identical — only the jit layout
+    annotations change (CLAUDE.md rule 4)."""
     step = partial(train_step, sched=sched, augment_fn=augment_fn)
     kwargs: dict[str, Any] = {}
     if donate:
@@ -122,8 +129,13 @@ def make_train_step(
     if mesh is not None:
         rep = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        kwargs["in_shardings"] = (rep, data, rep)
-        kwargs["out_shardings"] = (rep, rep)
+        if fsdp:
+            # state: as-committed (per-leaf FSDP plan); loss: replicated
+            kwargs["in_shardings"] = (None, data, rep)
+            kwargs["out_shardings"] = (None, rep)
+        else:
+            kwargs["in_shardings"] = (rep, data, rep)
+            kwargs["out_shardings"] = (rep, rep)
     return jax.jit(step, **kwargs)
 
 

@@ -56,7 +56,7 @@ def build_dataset(cfg: DiffusionConfig) -> DiffusionImageDataset:
     return ds
 
 
-def make_augmented_train_step(sched, crop: int, mesh=None, donate=True):
+def make_augmented_train_step(sched, crop: int, mesh=None, donate=True, fsdp=False):
     """Train step whose input is the RAW uint8 host batch: augmentation
     (crop/flip/scale) + q-sample + eps-MSE + Adam update (+ EMA shadow)
     compile into ONE program (the reference does augmentation on host
@@ -66,7 +66,7 @@ def make_augmented_train_step(sched, crop: int, mesh=None, donate=True):
     from weatherconverter_tpu.training.diffusion import make_train_step
 
     return make_train_step(
-        sched, mesh=mesh, donate=donate,
+        sched, mesh=mesh, donate=donate, fsdp=fsdp,
         augment_fn=partial(diffusion_train_augment, crop=crop),
     )
 
@@ -126,10 +126,20 @@ def train(
         logger.print(
             f"DP x{dp}: global batch {global_batch} ({tr.batch_size}/device), lr={lr}"
         )
-    step_fn = make_augmented_train_step(sched, cfg.model.im_size, mesh=mesh, donate=tr.donate_state)
+    step_fn = make_augmented_train_step(
+        sched, cfg.model.im_size, mesh=mesh, donate=tr.donate_state,
+        fsdp=tr.fsdp,
+    )
 
     if mesh is not None:
-        state = replicate(mesh, state)
+        from weatherconverter_tpu.parallel.fsdp import maybe_shard_state
+
+        state = maybe_shard_state(mesh, state, fsdp=tr.fsdp)
+        if tr.fsdp:
+            from weatherconverter_tpu.parallel.fsdp import sharded_fraction
+
+            logger.print(f"FSDP: {sharded_fraction(state):.1%} of state bytes "
+                         f"sharded across {dp} devices")
 
     tkey = keys["train"]
     # continue step numbering across resume (metrics alignment; the seg loop

@@ -86,7 +86,8 @@ def make_augmented_seg_train_step(cfg: SegConfig, loss_fn, mesh=None, input_grad
     from weatherconverter_tpu.training.segmentation import make_seg_train_step
 
     return make_seg_train_step(
-        loss_fn, mesh=mesh, input_grad=input_grad, augment_fn=augment
+        loss_fn, mesh=mesh, input_grad=input_grad, augment_fn=augment,
+        fsdp=cfg.training.fsdp,
     )
 
 
@@ -227,7 +228,9 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
         )
 
     if mesh is not None:
-        state = replicate(mesh, state)
+        from weatherconverter_tpu.parallel.fsdp import maybe_shard_state
+
+        state = maybe_shard_state(mesh, state, fsdp=tr.fsdp)
 
     tkey = keys["train"]
     global_step = int(state.step) if hasattr(state, "step") else 0

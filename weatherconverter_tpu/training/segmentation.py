@@ -71,6 +71,7 @@ def make_seg_train_step(
     input_grad: bool = True,
     donate: bool = True,
     augment_fn=None,
+    fsdp: bool = False,
 ):
     """Compile the seg train step.
 
@@ -121,9 +122,13 @@ def make_seg_train_step(
     if mesh is not None:
         rep = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        ins = (rep, data, data) if augment_fn is None else (rep, data, data, rep)
+        # fsdp: the state keeps its committed per-leaf ZeRO-3 shardings
+        # (parallel.fsdp.shard_state_fsdp); XLA all-gathers params at use
+        # and reduce-scatters grads. Same step body either way.
+        st = None if fsdp else rep
+        ins = (st, data, data) if augment_fn is None else (st, data, data, rep)
         kwargs["in_shardings"] = ins
-        kwargs["out_shardings"] = (rep, rep, rep)
+        kwargs["out_shardings"] = (st, rep, rep)
     return jax.jit(step, **kwargs)
 
 
