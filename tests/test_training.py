@@ -184,3 +184,109 @@ def test_cli_sample_prefers_ema_params(tmp_path):
     want_leaf = jax.tree_util.tree_leaves(bumped)[0]
     got_leaf = jax.tree_util.tree_leaves(got)[0]
     np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(want_leaf), atol=1e-6)
+
+
+def test_ddpm_grad_accumulation_matches_reference_semantics():
+    """accum_steps=2 must equal the hand-rolled mean of the two microbatch
+    gradients at the SAME split keys (one optimizer + EMA update), pinning
+    the estimator semantics exactly (training/diffusion.train_step)."""
+    import optax
+
+    from weatherconverter_tpu.training.diffusion import ddpm_loss_fn, train_step
+
+    sched = linear_schedule(10)
+    model = tiny_unet()
+    # SGD, not Adam: the param delta then IS -lr * mean-grad, so the grad
+    # semantics can be compared tightly (Adam's m/sqrt(v) flips sign on fp
+    # noise for near-zero grads and defeats any elementwise tolerance)
+    import optax as _optax
+
+    state = create_ddpm_state(
+        model, jax.random.PRNGKey(0), im_size=16, lr=1e-3, ema_decay=0.9,
+        tx=_optax.sgd(1e-3),
+    )
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    key = jax.random.PRNGKey(2)
+
+    s_acc, loss_acc = jax.jit(
+        lambda s, i, k: train_step(s, i, k, sched=sched, accum_steps=2)
+    )(state, images, key)
+
+    # hand-rolled reference: mean of per-microbatch grads at the same keys
+    keys = jax.random.split(key, 2)
+    micro = images.reshape(2, 4, 16, 16, 3)
+    losses, grads = [], []
+    for i in range(2):
+        l, g = jax.value_and_grad(ddpm_loss_fn)(
+            state.params, state.apply_fn, sched, micro[i], keys[i]
+        )
+        losses.append(l)
+        grads.append(g)
+    mean_g = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, *grads)
+    s_ref = state.apply_gradients(grads=mean_g)
+    s_ref = s_ref.replace(ema=s_ref.ema.update(s_ref.params))
+
+    np.testing.assert_allclose(
+        float(loss_acc), float((losses[0] + losses[1]) / 2.0), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_acc.params),
+        jax.tree_util.tree_leaves(s_ref.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_acc.ema.params),
+        jax.tree_util.tree_leaves(s_ref.ema.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    assert int(s_acc.step) == 1  # ONE optimizer update
+
+
+def test_seg_grad_accumulation_runs_and_chains_bn(seg_setup):
+    """Seg accumulation: one optimizer update from the mean microbatch
+    gradient, BN running stats chained through the microbatches in order
+    (torch grad-accum semantics)."""
+    model_t, model_e, state = seg_setup
+    loss_fn = make_seg_loss("CrossEntropyLoss", {"ignore_index": 255})
+    images = jax.random.normal(jax.random.PRNGKey(5), (4, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(6), (4, 32, 32), 0, 5)
+
+    step1 = make_seg_train_step(loss_fn, mesh=None, donate=False)
+    s1, loss1, ig1 = step1(state, images, labels)
+
+    step2 = make_seg_train_step(loss_fn, mesh=None, donate=False, accum_steps=2)
+    s2, loss2, ig2 = step2(state, images, labels)
+
+    assert np.isfinite(float(loss2)) and float(ig2) > 0.0
+    # same data, same params: the two estimators are close but NOT identical
+    # (loss1 is the full-batch pixel mean; loss2 the mean of microbatch
+    # means; BN batch stats differ per microbatch)
+    assert abs(float(loss1) - float(loss2)) < 0.25 * abs(float(loss1))
+    # one optimizer update happened and BN stats moved
+    a = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    b = jax.tree_util.tree_leaves(s2.batch_stats)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert int(s2.step) == int(state.step) + 1
+
+
+def test_ddpm_grad_accumulation_under_dp_mesh():
+    """accum_steps composes with DP sharding (the microbatch reshape of the
+    ('data',)-sharded batch dim is GSPMD-legal) and with FSDP state: losses
+    match the single-device accumulated step."""
+    from weatherconverter_tpu.parallel.fsdp import shard_state_fsdp
+
+    sched = linear_schedule(10)
+    model = tiny_unet()
+    state = create_ddpm_state(model, jax.random.PRNGKey(0), im_size=16, lr=1e-3)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    key = jax.random.PRNGKey(2)
+
+    s1, loss1 = make_train_step(sched, mesh=None, donate=False, accum_steps=2)(
+        state, images, key
+    )
+
+    mesh = make_mesh()
+    step = make_train_step(sched, mesh=mesh, donate=False, accum_steps=2, fsdp=True)
+    st = shard_state_fsdp(mesh, state, min_shard_bytes=0)
+    s8, loss8 = step(st, shard_batch(mesh, images), replicate(mesh, key))
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=2e-5)

@@ -96,6 +96,9 @@ class TrainingConfig(BaseModel):
     # ZeRO-3-style param/opt-state sharding across the data mesh
     # (parallel/fsdp.py); DP-replicated state when False (the default)
     fsdp: bool = False
+    # gradient accumulation: microbatches per optimizer update (must divide
+    # the per-device batch); 1/accum the activation memory, same estimator
+    accum_steps: int = 1
 
 
 class FolderConfig(BaseModel):
@@ -155,6 +158,7 @@ class SegTrainingConfig(BaseModel):
     scale_batch_to_mesh: bool = True  # batch_size is per-device (see diffusion)
     scale_lr_with_batch: bool = False
     fsdp: bool = False  # ZeRO-3 state sharding (parallel/fsdp.py)
+    accum_steps: int = 1  # gradient-accumulation microbatches per update
 
 
 class JitterConfig(BaseModel):

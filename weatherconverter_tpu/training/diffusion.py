@@ -84,19 +84,51 @@ def train_step(
     key: jax.Array,
     sched: NoiseSchedule,
     augment_fn=None,
+    accum_steps: int = 1,
 ):
     """One un-jitted DDPM step; see `make_train_step` for the compiled,
     mesh-sharded version. `augment_fn(key, images) -> images` runs on-device
     augmentation inside the same program (the loops pass the crop/flip
     chain; keeping ONE canonical step body means EMA/optimizer changes can't
     silently diverge between the plain and augmented paths — a drift a
-    review actually caught)."""
+    review actually caught).
+
+    `accum_steps > 1` splits the batch into that many microbatches and
+    accumulates the MEAN gradient via lax.scan before the single optimizer
+    update — the same unbiased estimator at the same effective batch size
+    (each microbatch draws its own (t, noise) from a split key, so the
+    realization differs from the one-shot step) at 1/accum the activation
+    memory. ONE optimizer/EMA update either way; tests pin the exact
+    mean-of-microbatch-grads semantics against a hand-rolled reference."""
     if augment_fn is not None:
         akey, key = jax.random.split(key)
         images = augment_fn(akey, images)
-    loss, grads = jax.value_and_grad(ddpm_loss_fn)(
-        state.params, state.apply_fn, sched, images, key
-    )
+    if accum_steps <= 1:
+        loss, grads = jax.value_and_grad(ddpm_loss_fn)(
+            state.params, state.apply_fn, sched, images, key
+        )
+    else:
+        b = images.shape[0]
+        assert b % accum_steps == 0, (b, accum_steps)
+        micro = images.reshape((accum_steps, b // accum_steps) + images.shape[1:])
+        keys = jax.random.split(key, accum_steps)
+
+        def one(carry, mk):
+            mimgs, mkey = mk
+            l, g = jax.value_and_grad(ddpm_loss_fn)(
+                state.params, state.apply_fn, sched, mimgs, mkey
+            )
+            loss_acc, grad_acc = carry
+            return (loss_acc + l,
+                    jax.tree_util.tree_map(jnp.add, grad_acc, g)), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (loss, grads), _ = jax.lax.scan(
+            one, (jnp.zeros((), jnp.float32), zeros), (micro, keys)
+        )
+        inv = 1.0 / accum_steps
+        loss = loss * inv
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
     state = state.apply_gradients(grads=grads)
     if state.ema is not None:
         state = state.replace(ema=state.ema.update(state.params))
@@ -109,6 +141,7 @@ def make_train_step(
     donate: bool = True,
     augment_fn=None,
     fsdp: bool = False,
+    accum_steps: int = 1,
 ):
     """Compile the DDPM train step, optionally laid out over a DP mesh.
 
@@ -122,7 +155,9 @@ def make_train_step(
     param use and reduce-scatters the grads, and donation keeps the updated
     shards in place. The step BODY is identical — only the jit layout
     annotations change (CLAUDE.md rule 4)."""
-    step = partial(train_step, sched=sched, augment_fn=augment_fn)
+    step = partial(
+        train_step, sched=sched, augment_fn=augment_fn, accum_steps=accum_steps
+    )
     kwargs: dict[str, Any] = {}
     if donate:
         kwargs["donate_argnums"] = (0,)

@@ -56,7 +56,8 @@ def build_dataset(cfg: DiffusionConfig) -> DiffusionImageDataset:
     return ds
 
 
-def make_augmented_train_step(sched, crop: int, mesh=None, donate=True, fsdp=False):
+def make_augmented_train_step(sched, crop: int, mesh=None, donate=True, fsdp=False,
+                              accum_steps=1):
     """Train step whose input is the RAW uint8 host batch: augmentation
     (crop/flip/scale) + q-sample + eps-MSE + Adam update (+ EMA shadow)
     compile into ONE program (the reference does augmentation on host
@@ -66,7 +67,7 @@ def make_augmented_train_step(sched, crop: int, mesh=None, donate=True, fsdp=Fal
     from weatherconverter_tpu.training.diffusion import make_train_step
 
     return make_train_step(
-        sched, mesh=mesh, donate=donate, fsdp=fsdp,
+        sched, mesh=mesh, donate=donate, fsdp=fsdp, accum_steps=accum_steps,
         augment_fn=partial(diffusion_train_augment, crop=crop),
     )
 
@@ -128,7 +129,7 @@ def train(
         )
     step_fn = make_augmented_train_step(
         sched, cfg.model.im_size, mesh=mesh, donate=tr.donate_state,
-        fsdp=tr.fsdp,
+        fsdp=tr.fsdp, accum_steps=tr.accum_steps,
     )
 
     if mesh is not None:

@@ -87,7 +87,7 @@ def make_augmented_seg_train_step(cfg: SegConfig, loss_fn, mesh=None, input_grad
 
     return make_seg_train_step(
         loss_fn, mesh=mesh, input_grad=input_grad, augment_fn=augment,
-        fsdp=cfg.training.fsdp,
+        fsdp=cfg.training.fsdp, accum_steps=cfg.training.accum_steps,
     )
 
 

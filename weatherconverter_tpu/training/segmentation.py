@@ -72,6 +72,7 @@ def make_seg_train_step(
     donate: bool = True,
     augment_fn=None,
     fsdp: bool = False,
+    accum_steps: int = 1,
 ):
     """Compile the seg train step.
 
@@ -86,24 +87,60 @@ def make_seg_train_step(
     the loops previously hand-copied it, which invites drift)."""
 
     def core(state: SegTrainState, images: jax.Array, labels: jax.Array):
-        def lf(params, imgs):
-            out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs,
-                mutable=["batch_stats"],
-            )
-            return loss_fn(out, labels), updates["batch_stats"]
+        def fwd_bwd(bs, imgs, lbls):
+            """loss/grads/input-grad-magnitude/updated-BN-stats for one
+            (micro)batch, from explicit batch_stats `bs`."""
 
-        if input_grad:
-            (loss, new_bs), (grads, igrads) = jax.value_and_grad(
-                lf, argnums=(0, 1), has_aux=True
-            )(state.params, images)
-            ig_mag = jnp.mean(jnp.sqrt(jnp.sum(igrads.astype(jnp.float32) ** 2, axis=-1)))
+            def lf(params, im):
+                out, updates = state.apply_fn(
+                    {"params": params, "batch_stats": bs}, im,
+                    mutable=["batch_stats"],
+                )
+                return loss_fn(out, lbls), updates["batch_stats"]
+
+            if input_grad:
+                (loss, new_bs), (grads, igrads) = jax.value_and_grad(
+                    lf, argnums=(0, 1), has_aux=True
+                )(state.params, imgs)
+                ig_mag = jnp.mean(
+                    jnp.sqrt(jnp.sum(igrads.astype(jnp.float32) ** 2, axis=-1))
+                )
+            else:
+                (loss, new_bs), grads = jax.value_and_grad(lf, has_aux=True)(
+                    state.params, imgs
+                )
+                ig_mag = jnp.zeros((), dtype=jnp.float32)
+            return loss, grads, ig_mag, new_bs
+
+        if accum_steps <= 1:
+            loss, grads, ig_mag, new_bs = fwd_bwd(state.batch_stats, images, labels)
         else:
-            (loss, new_bs), grads = jax.value_and_grad(lf, has_aux=True)(
-                state.params, images
+            # Gradient accumulation with torch semantics: the MEAN gradient
+            # over microbatches drives ONE optimizer update; BN running
+            # stats chain through the microbatch forwards in order.
+            b = images.shape[0]
+            assert b % accum_steps == 0, (b, accum_steps)
+            mb = b // accum_steps
+            micro_i = images.reshape((accum_steps, mb) + images.shape[1:])
+            micro_l = labels.reshape((accum_steps, mb) + labels.shape[1:])
+
+            def one(carry, ml):
+                loss_a, grads_a, ig_a, bs = carry
+                l, g, ig, bs2 = fwd_bwd(bs, ml[0], ml[1])
+                return (loss_a + l,
+                        jax.tree_util.tree_map(jnp.add, grads_a, g),
+                        ig_a + ig, bs2), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, grads, ig_mag, new_bs), _ = jax.lax.scan(
+                one,
+                (jnp.zeros((), jnp.float32), zeros,
+                 jnp.zeros((), jnp.float32), state.batch_stats),
+                (micro_i, micro_l),
             )
-            ig_mag = jnp.zeros((), dtype=jnp.float32)
+            inv = 1.0 / accum_steps
+            loss, ig_mag = loss * inv, ig_mag * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_bs)
         return state, loss, ig_mag
