@@ -48,11 +48,12 @@ def parse_args():
         default="translate",
         choices=[
             "translate", "translate-alternate", "translate-ddim",
-            "sample", "train", "seg-infer",
+            "translate-dpm", "sample", "train", "seg-infer",
         ],
     )
     p.add_argument("--steps", type=int, default=None,
-                   help="default: 1000 (50 for translate-ddim)")
+                   help="default: 1000 (50 for translate-ddim, 20 for "
+                        "translate-dpm)")
     p.add_argument(
         "--batch", type=int, default=8,
         help="throughput batch; 8 saturates one v5e chip for this pipeline",
@@ -107,7 +108,7 @@ def main():
     # and always keeps the exact bf16 kernel with its custom VJP
     if (on_tpu and not args.no_int8_attn
             and args.mode in ("translate", "translate-alternate",
-                              "translate-ddim", "sample")):
+                              "translate-ddim", "translate-dpm", "sample")):
         os.environ.setdefault("WCTPU_ATTN_QK_INT8", "1")
 
     if args.tiny:
@@ -219,10 +220,11 @@ def main():
         }))
         return
 
-    # --- translate (headline) / translate-alternate / translate-ddim ---
+    # --- translate (headline) / -alternate / -ddim / -dpm ---
     from weatherconverter_tpu.guidance.translate import (
         sample_with_sgg,
         sample_with_sgg_ddim,
+        sample_with_sgg_dpm,
     )
     from weatherconverter_tpu.models.factory import make_seg_model
     from weatherconverter_tpu.models.srgan import Generator
@@ -236,18 +238,21 @@ def main():
 
     gt = jax.random.randint(jax.random.PRNGKey(6), (B, HR, HR), 0, 19)
 
-    if args.mode == "translate-ddim":
-        # fast-serving extension: full-quality-budget DDIM subsequence,
-        # 50 guided steps by default (--steps to override)
-        ddim_steps = args.steps if args.steps is not None else 50
+    if args.mode in ("translate-ddim", "translate-dpm"):
+        # fast-serving extensions: full-quality-budget solver subsequences —
+        # DDIM (1st order, 50 steps default) or DPM-Solver++(2M) (2nd order,
+        # 20 steps default reach comparable quality); --steps overrides
+        is_dpm = args.mode == "translate-dpm"
+        fast_steps = args.steps if args.steps is not None else (20 if is_dpm else 50)
 
         def run(up, sv, gv, g, k):
             k1, k2 = jax.random.split(k)
             inp = jax.random.normal(k1, (B, H, H, 3)) * 0.2
-            return sample_with_sgg_ddim(
+            fn = sample_with_sgg_dpm if is_dpm else sample_with_sgg_ddim
+            return fn(
                 lambda xt, tt: unet.apply({"params": up}, xt, tt), sched,
                 lambda img: seg.apply(sv, img), lambda img: gen.apply(gv, img),
-                inp, g, k2, lam=60.0, num_steps=ddim_steps,
+                inp, g, k2, lam=60.0, num_steps=fast_steps,
                 num_classes=19, guidance_style="gsg",
             )
 
@@ -261,8 +266,9 @@ def main():
             force(f(uparams, seg_vars, gvars, gt, k))
             times.append(time.perf_counter() - t0)
         value = B * 60.0 / min(times)
+        tag = "dpm2m" if is_dpm else "ddim"
         print(json.dumps({
-            "metric": f"guided_{HR}px_{ddim_steps}step_ddim_translations_per_min_per_chip",
+            "metric": f"guided_{HR}px_{fast_steps}step_{tag}_translations_per_min_per_chip",
             "value": round(value, 3), "unit": "translations/min/chip",
             "vs_baseline": round(value / 20.0, 3),
         }))

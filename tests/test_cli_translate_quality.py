@@ -150,3 +150,34 @@ def test_cli_translate_ddim(tmp_path):
         "--out", str(out),
     ])
     assert rc == 0 and out.exists()
+
+
+def test_cli_translate_dpm(tmp_path):
+    """`translate --sampler dpm --steps 4`: the second-order fast guided
+    path (DPM-Solver++(2M)) through the CLI."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TINY_YAML)
+    img = tmp_path / "in.png"
+    lbl = tmp_path / "lbl.png"
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(img)
+    Image.fromarray(rng.randint(0, 5, (32, 32), dtype=np.uint8)).save(lbl)
+    out = tmp_path / "out.png"
+    rc = main([
+        "translate", "--config", str(cfg), "--image", str(img),
+        "--label", str(lbl), "--sampler", "dpm", "--steps", "4",
+        "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()
+
+
+def test_cli_sample_dpm(tmp_path):
+    """`sample --sampler dpm`: DPM-Solver++(2M) unconditional sampling."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TINY_YAML)
+    out = tmp_path / "s.png"
+    rc = main([
+        "sample", "--config", str(cfg), "--sampler", "dpm", "--steps", "4",
+        "--batch", "2", "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()

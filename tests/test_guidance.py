@@ -312,3 +312,80 @@ def test_ddim_default_span_preserves_source_content():
     c_full = corr(sched.T)  # explicit full-T opt-in: generation
     assert c_default > 0.1, f"default span destroyed the source (corr={c_default:.3f})"
     assert c_default > c_full + 0.05, (c_default, c_full)
+
+
+def test_dpm_guided_translate_fast_path():
+    """sample_with_sgg_dpm: second-order few-step guided translation
+    (DPM-Solver++(2M), arXiv:2211.01095 — framework extension). Output
+    range/shape, guidance effect, both schedules, and source-content
+    preservation via the default translate span."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherconverter_tpu.core.config import UnetModelConfig
+    from weatherconverter_tpu.diffusion.schedule import linear_schedule
+    from weatherconverter_tpu.guidance.translate import sample_with_sgg_dpm
+    from weatherconverter_tpu.models.factory import make_seg_model
+    from weatherconverter_tpu.models.srgan import Generator
+    from weatherconverter_tpu.models.unet import Unet
+
+    H, SR, C = 16, 2, 5
+    HR = H * SR
+    ucfg = UnetModelConfig(
+        im_size=H, down_channels=[8, 16, 24], mid_channels=[24, 24, 16],
+        down_sample=[True, False], time_emb_dim=16, num_down_layers=1,
+        num_mid_layers=1, num_up_layers=1, num_heads=2, attn_resolutions=[8],
+    )
+    unet = Unet(config=ucfg, fused=False)
+    sched = linear_schedule(40)
+    up = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, H, H, 3)),
+                   jnp.zeros((1,), jnp.int32))["params"]
+    seg = make_seg_model("deeplabv3_resnet18", num_classes=C, train=False)
+    sv = seg.init(jax.random.PRNGKey(1), jnp.zeros((1, HR, HR, 3)))
+    gen = Generator(num_channels=8, num_blocks=1, upscale_factor=SR)
+    gv = gen.init(jax.random.PRNGKey(2), jnp.zeros((1, H, H, 3)))
+    gt = jax.random.randint(jax.random.PRNGKey(3), (2, HR, HR), 0, C)
+    inp = jax.random.normal(jax.random.PRNGKey(4), (2, H, H, 3)) * 0.2
+
+    def run(lam, style, span_t=None):
+        fn = jax.jit(lambda: sample_with_sgg_dpm(
+            lambda x, t: unet.apply({"params": up}, x, t), sched,
+            lambda x: seg.apply(sv, x), lambda x: gen.apply(gv, x),
+            inp, gt, jax.random.PRNGKey(5), lam=lam, num_steps=5,
+            span_t=span_t, num_classes=C, guidance_style=style,
+        ))
+        return fn()
+
+    out = run(10.0, "gsg")
+    assert out.shape == (2, HR, HR, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+    out0 = run(0.0, "gsg")
+    assert float(jnp.max(jnp.abs(out - out0))) > 1e-6, "guidance had no effect"
+
+    out_alt = run(10.0, "alternate")
+    assert bool(jnp.all(jnp.isfinite(out_alt)))
+
+    # default span (min(500, T)) keeps the q-sample at the top of the
+    # TRANSLATE span; an eps=0 denoiser + identity-style SR (a random-weight
+    # SRGAN would scramble any correlation) makes the output a deterministic
+    # function of the q-sampled input, so correlation with the input
+    # measures source survival (the advisor-round-1 property)
+    from weatherconverter_tpu.guidance.translate import sample_with_sgg_dpm as f
+
+    sched1k = linear_schedule(1000)
+    blocks = jnp.sign(jax.random.normal(jax.random.PRNGKey(10), (2, 6, 6, 3)))
+    src = jnp.repeat(jnp.repeat(blocks, 4, axis=1), 4, axis=2)
+    gt24 = jnp.zeros((2, 24, 24), dtype=jnp.int32)
+    zero_eps = lambda x, t: jnp.zeros_like(x)
+    id_sr = lambda x: jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+    small_span = f(
+        zero_eps, sched1k, linear_seg_fn, id_sr,
+        src, gt24, jax.random.PRNGKey(6), lam=0.0, num_steps=5,
+        span_t=None, num_classes=C, guidance_style="none",
+    )
+    a = np.asarray(small_span).ravel() - float(np.asarray(small_span).mean())
+    b = np.asarray(src).ravel() - float(np.asarray(src).mean())
+    corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert corr > 0.1, corr

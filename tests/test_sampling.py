@@ -187,3 +187,65 @@ def test_strided_taus_starts_at_top_of_span():
     taus2, tp2 = strided_taus(40, 2)
     assert list(np.asarray(taus2)) == [39, 0]
     assert list(np.asarray(tp2)) == [0, -1]
+
+
+def _delta_oracle(sched, x0_star):
+    """Exact eps-predictor for data concentrated at x0_star: any correct
+    deterministic sampler must return exactly x0_star."""
+    def apply_fn(xt, t):
+        a = sched.sqrt_alpha_cum_prod[t][:, None, None, None]
+        s = sched.sqrt_one_minus_alpha_cum_prod[t][:, None, None, None]
+        return (xt - a * x0_star) / s
+    return apply_fn
+
+
+def _gaussian_oracle(sched, m, c):
+    """Exact eps-predictor for x0 ~ N(m, c^2) i.i.d. per pixel:
+    E[x0|xt] = (a c^2 xt + s^2 m) / (a^2 c^2 + s^2); eps = (xt - a E)/s.
+    Linear in x but curved in t — separates solver orders."""
+    def apply_fn(xt, t):
+        a = sched.sqrt_alpha_cum_prod[t][:, None, None, None]
+        s = sched.sqrt_one_minus_alpha_cum_prod[t][:, None, None, None]
+        e_x0 = (a * c * c * xt + s * s * m) / (a * a * c * c + s * s)
+        return (xt - a * e_x0) / s
+    return apply_fn
+
+
+def test_dpm_solver_pp_2m_exact_on_delta_oracle():
+    from weatherconverter_tpu.diffusion.sampling import dpm_solver_pp_2m_sample
+
+    sched = linear_schedule(1000)
+    x0_star = jnp.full((1, 8, 8, 3), 0.37, dtype=jnp.float32)
+    out = jax.jit(
+        lambda k: dpm_solver_pp_2m_sample(
+            _delta_oracle(sched, x0_star), sched, k, (2, 8, 8, 3), num_steps=8
+        )
+    )(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), 0.37, rtol=0, atol=1e-4)
+
+
+def test_dpm_solver_pp_2m_beats_ddim_at_equal_steps():
+    """Second-order convergence: at 15 steps on the curved Gaussian oracle,
+    DPM-Solver++(2M) must land closer to the fine-grid (1000-step DDIM) ODE
+    solution than 15-step DDIM does — the property that makes it the better
+    fast sampler (arXiv:2211.01095)."""
+    from weatherconverter_tpu.diffusion.sampling import (
+        ddim_sample,
+        dpm_solver_pp_2m_sample,
+    )
+
+    sched = linear_schedule(1000)
+    oracle = _gaussian_oracle(sched, m=0.3, c=0.2)
+    key = jax.random.PRNGKey(7)
+    shape = (2, 8, 8, 3)
+    # all three share the same initial noise (same key split inside)
+    ref = jax.jit(lambda k: ddim_sample(oracle, sched, k, shape, num_steps=1000))(key)
+    fast_ddim = jax.jit(lambda k: ddim_sample(oracle, sched, k, shape, num_steps=15))(key)
+    fast_dpm = jax.jit(
+        lambda k: dpm_solver_pp_2m_sample(oracle, sched, k, shape, num_steps=15)
+    )(key)
+
+    err_ddim = float(jnp.sqrt(jnp.mean((fast_ddim - ref) ** 2)))
+    err_dpm = float(jnp.sqrt(jnp.mean((fast_dpm - ref) ** 2)))
+    assert err_dpm < err_ddim, (err_dpm, err_ddim)
+    assert err_dpm < 0.7 * err_ddim, (err_dpm, err_ddim)  # not a squeaker (measured ~0.56x)

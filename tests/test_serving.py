@@ -219,3 +219,39 @@ def test_ddim_with_reference_mode_refused(tmp_path):
     # the DDPM sampler still accepts reference mode (it replicates the bug)
     service = TranslationService(cfg, batch=2, steps=3, max_wait_ms=5.0)
     service.close()
+
+
+def test_http_server_dpm_sampler(tmp_path):
+    """serve --sampler dpm: the 2nd-order fast guided path end-to-end, with
+    reference-mode refusal matching the ddim behavior."""
+    from weatherconverter_tpu.core.config import load_translation_config
+    from weatherconverter_tpu.serving.server import TranslationService, serve
+
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(TINY_YAML)
+    cfg = load_translation_config(str(cfg_path))
+    service = TranslationService(
+        cfg, batch=2, steps=3, max_wait_ms=10.0, sampler="dpm"
+    )
+    httpd = serve(service, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        rng = np.random.RandomState(0)
+        img = _b64_png(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8))
+        lbl = _b64_png(rng.randint(0, 34, (40, 40), dtype=np.uint8))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/translate",
+            data=json.dumps({"image": img, "label": lbl, "seed": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.load(r)
+        assert "image" in out and len(out["image"]) > 100
+    finally:
+        httpd.shutdown()
+        service.close()
+
+    ref_cfg = load_translation_config(str(cfg_path))
+    ref_cfg.guidance.mode = "reference"
+    with pytest.raises(ValueError):
+        TranslationService(ref_cfg, batch=2, max_wait_ms=5.0, sampler="dpm")

@@ -70,6 +70,7 @@ def run_sample(args) -> int:
         ddim_sample,
         ddpm_sample,
         ddpm_sample_legacy,
+        dpm_solver_pp_2m_sample,
     )
     from weatherconverter_tpu.diffusion.schedule import make_schedule
     from weatherconverter_tpu.models.unet import Unet
@@ -119,6 +120,10 @@ def run_sample(args) -> int:
             fn = lambda x, t: model.apply({"params": p}, x, t)
             if args.sampler == "ddim":
                 return ddim_sample(fn, sched, k, shape, num_steps=args.steps or 50)
+            if args.sampler == "dpm":
+                return dpm_solver_pp_2m_sample(
+                    fn, sched, k, shape, num_steps=args.steps or 20
+                )
             return ddpm_sample(fn, sched, k, shape, num_steps=args.steps)
 
         out = run(params, key)
@@ -216,20 +221,24 @@ def run_translate(args) -> int:
     lbl = Image.open(args.label).resize((hr, hr), Image.NEAREST)
     gt = encode_target(np.asarray(lbl, dtype=np.uint8))
 
-    # sampler-appropriate step defaults: the ddim path exists for FEW-step
-    # translation (500 would negate its purpose; review round 3)
+    # sampler-appropriate step defaults: the fast paths exist for FEW-step
+    # translation (500 would negate their purpose; review round 3)
+    sampler = getattr(args, "sampler", "ddpm")
     if getattr(args, "steps", None) is None:
-        args.steps = 50 if getattr(args, "sampler", "ddpm") == "ddim" else 500
-    if getattr(args, "sampler", "ddpm") == "ddim":
-        from weatherconverter_tpu.guidance.translate import sample_with_sgg_ddim
+        args.steps = {"ddim": 50, "dpm": 20}.get(sampler, 500)
+    if sampler in ("ddim", "dpm"):
+        from weatherconverter_tpu.guidance.translate import (
+            sample_with_sgg_ddim,
+            sample_with_sgg_dpm,
+        )
 
         if args.mode == "reference":
             # the DDPM path replicates the reference's overwrite defect; the
-            # DDIM path has no reference analog, so guidance is simply off
+            # fast-solver paths have no reference analog, so guidance is off
             print(
-                "warning: --sampler ddim with --mode reference disables "
-                "guidance entirely (the reference's xt-overwrite has no DDIM "
-                "analog); use --mode fixed for guided DDIM translation",
+                f"warning: --sampler {sampler} with --mode reference disables "
+                "guidance entirely (the reference's xt-overwrite has no "
+                "fast-solver analog); use --mode fixed for guided translation",
                 file=sys.stderr,
             )
         # taus stride the TRANSLATE span (cfg.guidance.num_steps), not the
@@ -237,16 +246,21 @@ def run_translate(args) -> int:
         span_t = args.span_t if args.span_t is not None else cfg.guidance.num_steps
 
         @jax.jit
-        def _ddim_translate(up, sv, gv, i_, g_, k_):
-            return sample_with_sgg_ddim(
-                lambda x, t: unet.apply({"params": up}, x, t), sched,
-                lambda x: seg.apply(sv, x), lambda x: gen.apply(gv, x),
-                i_, g_, k_, lam=args.lam, num_steps=args.steps,
-                span_t=span_t, eta=args.eta,
+        def _fast_translate(up, sv, gv, i_, g_, k_):
+            common = dict(
+                lam=args.lam, num_steps=args.steps, span_t=span_t,
                 num_classes=cfg.seg.model.num_classes, mode=args.mode,
             )
+            dfn = lambda x, t: unet.apply({"params": up}, x, t)
+            sfn = lambda x: seg.apply(sv, x)
+            gfn = lambda x: gen.apply(gv, x)
+            if sampler == "dpm":
+                return sample_with_sgg_dpm(dfn, sched, sfn, gfn, i_, g_, k_, **common)
+            return sample_with_sgg_ddim(
+                dfn, sched, sfn, gfn, i_, g_, k_, eta=args.eta, **common
+            )
 
-        translate = lambda i_, g_, k_: _ddim_translate(
+        translate = lambda i_, g_, k_: _fast_translate(
             uparams, seg_vars, gvars, i_, g_, k_
         )
     else:

@@ -47,7 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     sa = sub.add_parser("sample", help="unconditional DDPM sampling")
     sa.add_argument("--config", default=None)
     sa.add_argument("--checkpoint", default=None, help="orbax dir / .npz / torch .ckpt")
-    sa.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "legacy"])
+    sa.add_argument("--sampler", default="ddpm",
+                    choices=["ddpm", "ddim", "dpm", "legacy"],
+                    help="dpm = DPM-Solver++(2M), 2nd-order fast sampler "
+                         "(10-25 steps; framework extension)")
     sa.add_argument("--steps", type=int, default=None)
     sa.add_argument("--batch", type=int, default=8)
     sa.add_argument("--out", default="outputs/samples/sample.png")
@@ -69,8 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--steps", type=int, default=None,
                     help="default: 500 (the reference's N, translation.py:56); 50 for --sampler ddim")
     tr.add_argument("--seed", type=int, default=0)
-    tr.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
-                    help="ddim = few-step guided translation (framework extension)")
+    tr.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpm"],
+                    help="ddim / dpm = few-step guided translation (framework "
+                         "extensions; dpm = 2nd-order DPM-Solver++(2M))")
     tr.add_argument("--eta", type=float, default=0.0, help="DDIM noise scale")
     tr.add_argument("--span-t", type=int, default=None,
                     help="diffusion span the DDIM taus stride (default: the translate "
@@ -107,8 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=8700)
     sv.add_argument("--batch", type=int, default=4, help="compiled serving batch")
     sv.add_argument("--steps", type=int, default=None)
-    sv.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
-                    help="ddim = few-step fast translation for serving latency")
+    sv.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpm"],
+                    help="ddim / dpm = few-step fast translation for serving "
+                         "latency (dpm = 2nd-order DPM-Solver++(2M), ~20 steps)")
     sv.add_argument("--max-wait-ms", type=float, default=25.0)
     sv.add_argument("--ddpm-checkpoint", default=None)
     sv.add_argument("--seg-checkpoint", default=None)

@@ -243,6 +243,63 @@ def ddim_sample(
     return x0
 
 
+def dpm_solver_pp_2m_sample(
+    apply_fn: ApplyFn,
+    sched: NoiseSchedule,
+    key: jax.Array,
+    shape: Sequence[int],
+    num_steps: int = 20,
+) -> jax.Array:
+    """DPM-Solver++(2M) (Lu et al. 2022, arXiv:2211.01095) — deterministic
+    second-order multistep sampler in data-prediction form (framework
+    extension; PAPERS.md). One UNet eval per step like DDIM, but the
+    half-logSNR-extrapolated x0 ("2M" term) cancels the first-order
+    discretization error, so 10-25 steps reach quality DDIM needs 2-5x the
+    steps for (convergence-order test in tests/test_sampling.py).
+
+    Update (logSNR lambda = log(alpha/sigma), h = lambda_next - lambda_t):
+        D    = (1 + 1/(2r)) x0_t - 1/(2r) x0_prev,   r = h_prev / h
+        x_tp = (sigma_tp/sigma_t) x_t - alpha_tp (e^{-h} - 1) D
+    First step and the final (sigma_tp = 0) step fall back to first order
+    (= DDIM eta=0), the standard `lower_order_final` rule that keeps the
+    extrapolation bounded as h -> inf at the terminal step."""
+    T = sched.T
+    taus, tau_prev = strided_taus(T, num_steps)
+    key, init_key = jax.random.split(key)
+    xt = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+
+    def body(carry, tpair):
+        xt, x0_prev, h_prev, idx = carry
+        t, tp = tpair
+        eps = apply_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
+        x0 = jnp.clip(predict_x0(sched, xt, eps, t), -1.0, 1.0)
+
+        acp_t = sched.alpha_cum_prod[t]
+        acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
+        a_t, s_t = jnp.sqrt(acp_t), jnp.sqrt(1.0 - acp_t)
+        a_p = jnp.sqrt(acp_p)
+        s_p = jnp.sqrt(jnp.maximum(1.0 - acp_p, 0.0))
+
+        lam_t = 0.5 * jnp.log(acp_t / (1.0 - acp_t))
+        # finite stand-in at the terminal step (s_p = 0 -> lambda = inf);
+        # the where() below never uses h there
+        lam_p = 0.5 * jnp.log(acp_p / jnp.maximum(1.0 - acp_p, 1e-20))
+        h = lam_p - lam_t
+        r = h_prev / jnp.where(h == 0.0, 1.0, h)
+
+        use_2m = (idx > 0) & (tp >= 0)
+        coef = jnp.where(use_2m, 1.0 / (2.0 * jnp.where(r == 0.0, 1.0, r)), 0.0)
+        D = (1.0 + coef) * x0 - coef * x0_prev
+
+        e_mh = (s_p * a_t) / (a_p * s_t)  # e^{-h}; exactly 0 at the last step
+        x_next = (s_p / s_t) * xt - a_p * (e_mh - 1.0) * D
+        return (x_next, x0, h, idx + 1), None
+
+    init = (xt, jnp.zeros_like(xt), jnp.float32(1.0), jnp.int32(0))
+    (x0, _, _, _), _ = jax.lax.scan(body, init, (taus, tau_prev))
+    return x0
+
+
 def partial_forward_then_reverse(
     apply_fn: ApplyFn,
     sched: NoiseSchedule,

@@ -304,6 +304,111 @@ def sample_with_sgg_ddim(
     return sr_fn(x0_final)
 
 
+def sample_with_sgg_dpm(
+    diff_fn: ApplyFn,
+    sched: NoiseSchedule,
+    seg_fn: SegFn,
+    sr_fn: SRFn,
+    input_128: jax.Array,
+    gt: jax.Array,
+    key: jax.Array,
+    lam: float = 60.0,
+    num_steps: int = 20,
+    span_t: Optional[int] = None,
+    num_classes: int = 19,
+    mode: str = "fixed",
+    normalize_seg_input: bool = False,
+    guidance_style: str = "alternate",
+) -> jax.Array:
+    """Guided fast translation on a DPM-Solver++(2M) subsequence
+    (arXiv:2211.01095; see diffusion/sampling.dpm_solver_pp_2m_sample for the
+    update and its convergence-order test). Same structure as
+    sample_with_sgg_ddim — the deterministic solver update takes the role of
+    the posterior mean and the semantic gradient term keeps the reference's
+    lambda * sigma_posterior * ||grad|| scale (sgg.py:13-14) with zero
+    ancestral noise (the solver is an ODE integrator) — but second-order:
+    10-25 steps where DDIM wants 25-50. Multistep history (x0_prev, h_prev)
+    rides the scan carry; first and terminal steps fall back to first order
+    (`lower_order_final`)."""
+    if normalize_seg_input:
+        raw_seg_fn = seg_fn
+        seg_fn = lambda x: raw_seg_fn(normalize(x, IMAGENET_MEAN, IMAGENET_STD))
+
+    from weatherconverter_tpu.diffusion.sampling import strided_taus
+
+    span = min(DEFAULT_TRANSLATE_SPAN, sched.T) if span_t is None else span_t
+    taus, tau_prev = strided_taus(span, num_steps)
+    steps = jnp.arange(num_steps - 1, -1, -1)
+
+    key, nkey = jax.random.split(key)
+    noise0 = jax.random.normal(nkey, input_128.shape, dtype=input_128.dtype)
+    t0 = jnp.full((input_128.shape[0],), int(span) - 1, dtype=jnp.int32)
+    xt = q_sample(sched, input_128, noise0, t0)
+
+    zero_ns = jnp.zeros((), dtype=xt.dtype)
+
+    def body(carry, scan_in):
+        xt, key, x0_prev, h_prev = carry
+        t, tp, i = scan_in
+        key, zkey = jax.random.split(key)
+        eps = diff_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
+        x0 = jnp.clip(predict_x0(sched, xt, eps, t), -1.0, 1.0)
+
+        acp_t = sched.alpha_cum_prod[t]
+        acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
+        a_t, s_t = jnp.sqrt(acp_t), jnp.sqrt(1.0 - acp_t)
+        a_p = jnp.sqrt(acp_p)
+        s_p = jnp.sqrt(jnp.maximum(1.0 - acp_p, 0.0))
+        lam_t = 0.5 * jnp.log(acp_t / (1.0 - acp_t))
+        lam_p = 0.5 * jnp.log(acp_p / jnp.maximum(1.0 - acp_p, 1e-20))
+        h = lam_p - lam_t
+        r = h_prev / jnp.where(h == 0.0, 1.0, h)
+        use_2m = (i != num_steps - 1) & (tp >= 0)
+        coef = jnp.where(use_2m, 1.0 / (2.0 * jnp.where(r == 0.0, 1.0, r)), 0.0)
+        D = (1.0 + coef) * x0 - coef * x0_prev
+        e_mh = (s_p * a_t) / (a_p * s_t)
+        mean = (s_p / s_t) * xt - a_p * (e_mh - 1.0) * D
+
+        guide_scale = _bcast(posterior_sigma(sched, t, "posterior"), xt)
+        z = jax.random.normal(zkey, xt.shape, dtype=xt.dtype)
+        sr_xt = sr_fn(xt)
+
+        def lcg(_):
+            return apply_lcg(
+                seg_fn, mean, guide_scale, sr_xt, gt, lam,
+                num_classes=num_classes, noise=z, mode=mode,
+                noise_scale=zero_ns,
+            )
+
+        def gsg(_):
+            return apply_gsg(
+                seg_fn, mean, guide_scale, sr_xt, gt, lam, noise=z, mode=mode,
+                noise_scale=zero_ns,
+            )
+
+        def guided(_):
+            if guidance_style == "alternate":
+                return jax.lax.cond(jnp.mod(i, 2) == 0, lcg, gsg, operand=None)
+            if guidance_style == "gsg":
+                return gsg(None)
+            if guidance_style == "lcg":
+                return lcg(None)
+            raise ValueError(f"unknown guidance_style {guidance_style!r}")
+
+        if guidance_style == "none" or mode == "reference":
+            # reference mode has no fast-solver analog in the original code;
+            # guidance-discarded like translation.py:90 (matches the DDIM
+            # path's handling)
+            xt_next = mean
+        else:
+            xt_next = jnp.where((i != 0), guided(None), mean)
+        return (xt_next, key, x0, h), None
+
+    init = (xt, key, jnp.zeros_like(xt), jnp.float32(1.0))
+    (x0_final, _, _, _), _ = jax.lax.scan(body, init, (taus, tau_prev, steps))
+    return sr_fn(x0_final)
+
+
 def make_translate_fn(
     diff_model,
     diff_params,
