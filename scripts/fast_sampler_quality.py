@@ -1,0 +1,136 @@
+"""Fast-sampler quality: DPM-Solver++(2M) vs DDIM at serving budgets.
+
+Reuses the quality gate's tiny-TRAINED world (scripts/quality_gate.py):
+trains ddpm/seg/srgan with the framework's real train steps, then runs
+guided translation with each fast sampler at its serving default —
+DDIM at 50 steps, DPM at 20 steps — plus the full DDPM chain as the quality
+anchor, and scores each with the gate's metrics (backbone-FID vs the
+original images + mIoU-consistency).
+
+The claim under test: DPM-Solver++(2M) at 20 steps is in the same quality
+band as DDIM at 50 (its convergence-order advantage is already isolated in
+tests/test_sampling.py; this measures the composed guided pipeline).
+
+Run:  python scripts/fast_sampler_quality.py [--fast]
+Writes outputs/fast_sampler_quality.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+from quality_gate import HR, make_world_batch, tiny_train  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--n-eval", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from weatherconverter_tpu.guidance.translate import (
+        sample_with_sgg,
+        sample_with_sgg_ddim,
+        sample_with_sgg_dpm,
+    )
+    from weatherconverter_tpu.metrics.fid import fid_from_batches
+    from weatherconverter_tpu.metrics.quality import consistency_gap
+
+    budget = dict(T=100, ddpm_steps=120, seg_steps=120, srgan_steps=150, batch=16)
+    m = tiny_train(budget, log=print)
+    unet, uparams, sched = m["unet"], m["uparams"], m["sched"]
+    seg, seg_vars, gen, gvars = m["seg"], m["seg_vars"], m["gen"], m["gvars"]
+
+    key = jax.random.PRNGKey(100)
+    lr, hr, labels = make_world_batch(key, args.n_eval)
+
+    diff_fn = lambda x, t: unet.apply({"params": uparams}, x, t)
+    seg_fn = lambda x: seg.apply(seg_vars, x)
+    sr_fn = lambda x: gen.apply(gvars, x)
+    def translate(kind, steps, lam):
+        common = dict(lam=lam, num_classes=5, mode="fixed", guidance_style="gsg")
+        k = jax.random.fold_in(key, hash(kind) % 1000)
+        if kind == "ddpm":
+            f = lambda: sample_with_sgg(
+                diff_fn, sched, seg_fn, sr_fn, lr, labels, k,
+                num_steps=steps, start_t=steps - 1, **common)
+        elif kind == "ddim":
+            f = lambda: sample_with_sgg_ddim(
+                diff_fn, sched, seg_fn, sr_fn, lr, labels, k,
+                num_steps=steps, span_t=sched.T // 2, **common)
+        else:
+            f = lambda: sample_with_sgg_dpm(
+                diff_fn, sched, seg_fn, sr_fn, lr, labels, k,
+                num_steps=steps, span_t=sched.T // 2, **common)
+        return jax.jit(f)()
+
+    backbone_fn = jax.jit(
+        lambda x: jnp.mean(
+            seg.apply(seg_vars, x, method=lambda m, im: m.backbone(im))["out"],
+            axis=(1, 2),
+        ).astype(jnp.float32)
+    )
+
+    report = {"budget": budget, "n_eval": args.n_eval, "settings": {}, "note": (
+        "lam=60 rows measure the GUIDED pipeline (FID grows with total "
+        "guidance dose, i.e. with step count — the gate's lambda-monotone "
+        "property along the step axis); lam=0 rows isolate SOLVER fidelity "
+        "(pure denoise of the q-sampled source: lower FID = better ODE "
+        "solution at that step budget)")}
+    runs = [("ddpm_full", "ddpm", 50, 60.0), ("ddim_50", "ddim", 50, 60.0),
+            ("ddim_20", "ddim", 20, 60.0), ("dpm_20", "dpm", 20, 60.0),
+            ("dpm_10", "dpm", 10, 60.0),
+            ("lam0_ddim_50", "ddim", 50, 0.0), ("lam0_ddim_20", "ddim", 20, 0.0),
+            ("lam0_dpm_20", "dpm", 20, 0.0), ("lam0_dpm_10", "dpm", 10, 0.0)]
+    for name, kind, steps, lam in runs:
+        out = translate(kind, steps, lam)
+        fid = float(fid_from_batches(backbone_fn, [hr], [out]))
+        gap = consistency_gap(
+            seg_fn, [(hr, labels)], [(out, labels)], num_classes=5
+        )
+        report["settings"][name] = {
+            "steps": steps,
+            "fid_backbone": round(fid, 4),
+            "miou_translated": round(gap["translated_miou"], 4),
+            "miou_gap": round(gap["miou_consistency_gap"], 4),
+        }
+        print(name, report["settings"][name], flush=True)
+
+    s = report["settings"]
+    # solver-fidelity verdicts (lam=0 rows): 2nd order at 20 steps should be
+    # in the band of 1st order at 50, and no worse than 1st order at 20
+    report["solver_dpm20_in_ddim50_band"] = bool(
+        s["lam0_dpm_20"]["fid_backbone"]
+        <= 1.5 * s["lam0_ddim_50"]["fid_backbone"] + 1.0
+    )
+    report["solver_dpm20_beats_ddim20"] = bool(
+        s["lam0_dpm_20"]["fid_backbone"] <= s["lam0_ddim_20"]["fid_backbone"]
+    )
+    path = os.path.join(REPO, "outputs", "fast_sampler_quality.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
