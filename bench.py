@@ -292,16 +292,21 @@ def main():
     segmented = style == "alternate" and not args.quick and bench_steps >= 2 * SEG
 
     if segmented:
-        nseg = bench_steps // SEG
+        # first segment absorbs the remainder so EVERY step is executed for
+        # any --steps value (nseg*SEG + first_len == bench_steps exactly;
+        # a floor-divide here silently dropped bench_steps % SEG steps while
+        # still dividing time by the full count — review round 4)
+        nseg = (bench_steps - 1) // SEG  # SEG-sized continuations
+        first_len = bench_steps - nseg * SEG  # in (0, SEG]
 
         def first_run(up, sv, gv, g, k):
             k1, k2 = jax.random.split(k)
             inp = jax.random.normal(k1, (B, H, H, 3)) * 0.2
             return sample_with_sgg(
                 diff_fn_of(up), sched, seg_fn_of(sv), sr_fn_of(gv), inp, g, k2,
-                lam=60.0, num_steps=SEG, num_classes=19, mode="fixed",
+                lam=60.0, num_steps=first_len, num_classes=19, mode="fixed",
                 start_t=bench_steps - 1, guidance_style=style,
-                t_offset=bench_steps - SEG, final_sr=False,
+                t_offset=bench_steps - first_len, final_sr=False,
             )
 
         def seg_run(up, sv, gv, g, xt, off, k):
@@ -317,8 +322,8 @@ def main():
 
         def chain(kbase):
             xt, kc = first_j(uparams, seg_vars, gvars, gt, kbase)
-            for s in range(1, nseg):
-                off = jnp.int32(bench_steps - (s + 1) * SEG)
+            for s in range(nseg):
+                off = jnp.int32(bench_steps - first_len - (s + 1) * SEG)
                 xt, kc = seg_j(uparams, seg_vars, gvars, gt, xt, off, kc)
             return sr_j(gvars, xt)
 

@@ -66,9 +66,13 @@ def main():
     diff_fn = lambda x, t: unet.apply({"params": uparams}, x, t)
     seg_fn = lambda x: seg.apply(seg_vars, x)
     sr_fn = lambda x: gen.apply(gvars, x)
+    # fixed per-kind key indices (NOT hash(): Python string hashing is
+    # per-process randomized, which made runs irreproducible — review r4)
+    KIND_IDX = {"ddpm": 1, "ddim": 2, "dpm": 3}
+
     def translate(kind, steps, lam):
         common = dict(lam=lam, num_classes=5, mode="fixed", guidance_style="gsg")
-        k = jax.random.fold_in(key, hash(kind) % 1000)
+        k = jax.random.fold_in(key, KIND_IDX[kind])
         if kind == "ddpm":
             f = lambda: sample_with_sgg(
                 diff_fn, sched, seg_fn, sr_fn, lr, labels, k,

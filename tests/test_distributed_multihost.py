@@ -85,8 +85,9 @@ def test_two_process_guided_translate_and_checkpoint_resume(tmp_path):
 
     for o in outs:
         cont, res = _field(o, "MHRESUME")
-        np.testing.assert_allclose(cont, res, rtol=0, atol=0), (
-            "restored-state continuation diverged from uninterrupted run"
+        np.testing.assert_allclose(
+            cont, res, rtol=0, atol=0,
+            err_msg="restored-state continuation diverged from uninterrupted run",
         )
 
     # single-process 8-device run: the SAME global program must produce the

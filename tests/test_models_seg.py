@@ -132,16 +132,46 @@ def test_separable_head_variant():
     assert out.shape == (1, 32, 32, 4)
 
 
-def test_bn_momentum_pinned_per_factory_call():
-    """make_seg_model ALWAYS pins the process BN-momentum knob — an explicit
-    value configures that model; omitting it restores the torch default 0.1
-    instead of inheriting whatever a previous model set (a leaked 0.01 from
-    a seg training run changed a later quality-gate run's trained weights:
-    round-4 order-dependent flake)."""
-    from weatherconverter_tpu.models.factory import make_seg_model
-    from weatherconverter_tpu.models.norm import bn_momentum
+def test_bn_momentum_is_per_model_and_backbone_scoped():
+    """BN momentum semantics (round-4 review): (a) a train-mode model's
+    configured bn_momentum governs ITS trace even when another seg model is
+    constructed in between (the loop builds its eval model after the train
+    model but before the first trace — a construction-time global pin
+    silently trained at the 0.1 default); (b) the momentum applies to the
+    BACKBONE only, head BNs keep the torch default — exactly the reference's
+    set_bn_momentum(model.backbone, 0.01) scoping (seg train.py:285).
+    Observable: running-stat deltas scale with torch momentum m
+    (new = (1-m) old + m batch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    make_seg_model("deeplabv3_resnet18", num_classes=4, bn_momentum=0.01)
-    assert abs(bn_momentum() - (1.0 - 0.01)) < 1e-9
-    make_seg_model("deeplabv3_resnet18", num_classes=4)
-    assert abs(bn_momentum() - (1.0 - 0.1)) < 1e-9
+    from weatherconverter_tpu.models.factory import make_seg_model
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
+
+    def stat_deltas(momentum):
+        m = make_seg_model("deeplabv3_resnet18", num_classes=4, train=True,
+                           bn_momentum=momentum)
+        # constructing ANOTHER model before the first trace must not matter
+        make_seg_model("deeplabv3_resnet18", num_classes=4)
+        v = m.init(jax.random.PRNGKey(0), x)
+        _, upd = m.apply(v, x, mutable=["batch_stats"])
+
+        def delta(tree_old, tree_new):
+            leaves_o = jax.tree_util.tree_leaves(tree_old)
+            leaves_n = jax.tree_util.tree_leaves(tree_new)
+            return float(sum(np.abs(np.asarray(a) - np.asarray(b)).sum()
+                             for a, b in zip(leaves_o, leaves_n)))
+
+        bs_old, bs_new = v["batch_stats"], upd["batch_stats"]
+        return (delta(bs_old["backbone"], bs_new["backbone"]),
+                delta(bs_old["head"], bs_new["head"]))
+
+    bb_small, head_small = stat_deltas(0.01)
+    bb_big, head_big = stat_deltas(0.5)
+    # backbone delta scales ~linearly with the configured momentum (50x)
+    ratio = bb_big / max(bb_small, 1e-12)
+    assert 25.0 < ratio < 100.0, (bb_small, bb_big, ratio)
+    # head stays at the torch default 0.1 in BOTH models (reference scoping)
+    np.testing.assert_allclose(head_small, head_big, rtol=1e-5)

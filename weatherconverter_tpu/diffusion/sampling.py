@@ -243,6 +243,48 @@ def ddim_sample(
     return x0
 
 
+def dpm_2m_update(
+    sched: NoiseSchedule,
+    xt: jax.Array,
+    x0: jax.Array,
+    x0_prev: jax.Array,
+    h_prev: jax.Array,
+    t: jax.Array,
+    tp: jax.Array,
+    use_2m: jax.Array,
+):
+    """ONE DPM-Solver++(2M) transition x_t -> x_tp in data-prediction form
+    (Lu et al. 2022, arXiv:2211.01095), shared by the unconditional sampler
+    and the guided translate path — the solver math is subtle enough that
+    hand-copies drift (same rule as strided_posterior_step).
+
+    logSNR lambda = log(alpha/sigma), h = lambda_tp - lambda_t:
+        D    = (1 + 1/(2r)) x0 - 1/(2r) x0_prev,    r = h_prev / h
+        x_tp = (sigma_tp/sigma_t) x_t - alpha_tp (e^{-h} - 1) D
+    `use_2m=False` (first step, or terminal step where sigma_tp = 0 drives
+    h -> inf) gives the first-order update (= DDIM eta=0), the standard
+    `lower_order_final` rule. Returns (x_tp, h) with h finite only where
+    used (a clamped stand-in at the terminal step — callers carry it into
+    the NEXT step's r, and there is no next step after terminal)."""
+    acp_t = sched.alpha_cum_prod[t]
+    acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
+    a_t, s_t = jnp.sqrt(acp_t), jnp.sqrt(1.0 - acp_t)
+    a_p = jnp.sqrt(acp_p)
+    s_p = jnp.sqrt(jnp.maximum(1.0 - acp_p, 0.0))
+
+    lam_t = 0.5 * jnp.log(acp_t / (1.0 - acp_t))
+    lam_p = 0.5 * jnp.log(acp_p / jnp.maximum(1.0 - acp_p, 1e-20))
+    h = lam_p - lam_t
+    r = h_prev / jnp.where(h == 0.0, 1.0, h)
+
+    coef = jnp.where(use_2m, 1.0 / (2.0 * jnp.where(r == 0.0, 1.0, r)), 0.0)
+    D = (1.0 + coef) * x0 - coef * x0_prev
+
+    e_mh = (s_p * a_t) / (a_p * s_t)  # e^{-h}; exactly 0 at the last step
+    x_next = (s_p / s_t) * xt - a_p * (e_mh - 1.0) * D
+    return x_next, h
+
+
 def dpm_solver_pp_2m_sample(
     apply_fn: ApplyFn,
     sched: NoiseSchedule,
@@ -273,26 +315,8 @@ def dpm_solver_pp_2m_sample(
         t, tp = tpair
         eps = apply_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
         x0 = jnp.clip(predict_x0(sched, xt, eps, t), -1.0, 1.0)
-
-        acp_t = sched.alpha_cum_prod[t]
-        acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
-        a_t, s_t = jnp.sqrt(acp_t), jnp.sqrt(1.0 - acp_t)
-        a_p = jnp.sqrt(acp_p)
-        s_p = jnp.sqrt(jnp.maximum(1.0 - acp_p, 0.0))
-
-        lam_t = 0.5 * jnp.log(acp_t / (1.0 - acp_t))
-        # finite stand-in at the terminal step (s_p = 0 -> lambda = inf);
-        # the where() below never uses h there
-        lam_p = 0.5 * jnp.log(acp_p / jnp.maximum(1.0 - acp_p, 1e-20))
-        h = lam_p - lam_t
-        r = h_prev / jnp.where(h == 0.0, 1.0, h)
-
         use_2m = (idx > 0) & (tp >= 0)
-        coef = jnp.where(use_2m, 1.0 / (2.0 * jnp.where(r == 0.0, 1.0, r)), 0.0)
-        D = (1.0 + coef) * x0 - coef * x0_prev
-
-        e_mh = (s_p * a_t) / (a_p * s_t)  # e^{-h}; exactly 0 at the last step
-        x_next = (s_p / s_t) * xt - a_p * (e_mh - 1.0) * D
+        x_next, h = dpm_2m_update(sched, xt, x0, x0_prev, h_prev, t, tp, use_2m)
         return (x_next, x0, h, idx + 1), None
 
     init = (xt, jnp.zeros_like(xt), jnp.float32(1.0), jnp.int32(0))

@@ -345,32 +345,24 @@ def sample_with_sgg_dpm(
     t0 = jnp.full((input_128.shape[0],), int(span) - 1, dtype=jnp.int32)
     xt = q_sample(sched, input_128, noise0, t0)
 
+    from weatherconverter_tpu.diffusion.sampling import dpm_2m_update
+
+    # the ODE integrator adds no ancestral noise: noise_scale is 0 and the
+    # `noise` fed to the guidance ops is a zero tensor (not fresh Gaussians
+    # multiplied by zero — review round 4)
     zero_ns = jnp.zeros((), dtype=xt.dtype)
+    zero_noise = jnp.zeros_like(xt)
 
     def body(carry, scan_in):
-        xt, key, x0_prev, h_prev = carry
+        xt, x0_prev, h_prev = carry
         t, tp, i = scan_in
-        key, zkey = jax.random.split(key)
         eps = diff_fn(xt, jnp.full((xt.shape[0],), t, dtype=jnp.int32))
         x0 = jnp.clip(predict_x0(sched, xt, eps, t), -1.0, 1.0)
-
-        acp_t = sched.alpha_cum_prod[t]
-        acp_p = jnp.where(tp >= 0, sched.alpha_cum_prod[jnp.maximum(tp, 0)], 1.0)
-        a_t, s_t = jnp.sqrt(acp_t), jnp.sqrt(1.0 - acp_t)
-        a_p = jnp.sqrt(acp_p)
-        s_p = jnp.sqrt(jnp.maximum(1.0 - acp_p, 0.0))
-        lam_t = 0.5 * jnp.log(acp_t / (1.0 - acp_t))
-        lam_p = 0.5 * jnp.log(acp_p / jnp.maximum(1.0 - acp_p, 1e-20))
-        h = lam_p - lam_t
-        r = h_prev / jnp.where(h == 0.0, 1.0, h)
         use_2m = (i != num_steps - 1) & (tp >= 0)
-        coef = jnp.where(use_2m, 1.0 / (2.0 * jnp.where(r == 0.0, 1.0, r)), 0.0)
-        D = (1.0 + coef) * x0 - coef * x0_prev
-        e_mh = (s_p * a_t) / (a_p * s_t)
-        mean = (s_p / s_t) * xt - a_p * (e_mh - 1.0) * D
+        mean, h = dpm_2m_update(sched, xt, x0, x0_prev, h_prev, t, tp, use_2m)
 
         guide_scale = _bcast(posterior_sigma(sched, t, "posterior"), xt)
-        z = jax.random.normal(zkey, xt.shape, dtype=xt.dtype)
+        z = zero_noise
         sr_xt = sr_fn(xt)
 
         def lcg(_):
@@ -402,10 +394,10 @@ def sample_with_sgg_dpm(
             xt_next = mean
         else:
             xt_next = jnp.where((i != 0), guided(None), mean)
-        return (xt_next, key, x0, h), None
+        return (xt_next, x0, h), None
 
-    init = (xt, key, jnp.zeros_like(xt), jnp.float32(1.0))
-    (x0_final, _, _, _), _ = jax.lax.scan(body, init, (taus, tau_prev, steps))
+    init = (xt, jnp.zeros_like(xt), jnp.float32(1.0))
+    (x0_final, _, _), _ = jax.lax.scan(body, init, (taus, tau_prev, steps))
     return sr_fn(x0_final)
 
 

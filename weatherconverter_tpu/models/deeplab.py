@@ -11,7 +11,7 @@ Parity with the reference heads (reference: seg_model/network/_deeplab.py):
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -156,13 +156,35 @@ class DeepLabHead(nn.Module):
 
 class DeepLabV3(nn.Module):
     """backbone -> head -> bilinear upsample to input size
-    (reference: network/utils.py:7-18)."""
+    (reference: network/utils.py:7-18).
+
+    `bn_momentum` (torch convention) is the BACKBONE BatchNorm momentum for
+    train-mode models — the reference applies it to the backbone only
+    (`set_bn_momentum(model.backbone, 0.01)`, seg train.py:285 +
+    utils.py:31-34), leaving the head at the torch default 0.1. The process
+    knob in models/norm.py is read at TRACE time, so this module pins it at
+    each train-mode trace: before the backbone call (this model's value, or
+    the 0.1 default) and back to 0.1 before the head call. Pinning at trace
+    entry — not at construction — means building another seg model in
+    between cannot change what THIS model trains with (a construction-time
+    pin regressed exactly that way: the loop builds its eval model after
+    the train model but before the first trace; round-4 review)."""
 
     backbone: nn.Module
     head: nn.Module
+    train: bool = False
+    bn_momentum: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.train:
+            from weatherconverter_tpu.models.norm import set_bn_momentum
+
+            set_bn_momentum(0.1 if self.bn_momentum is None else self.bn_momentum)
         feats = self.backbone(x)
+        if self.train:
+            from weatherconverter_tpu.models.norm import set_bn_momentum
+
+            set_bn_momentum(0.1)  # head BNs keep the torch default
         logits = self.head(feats)
         return resize_bilinear(logits, (x.shape[1], x.shape[2])).astype(jnp.float32)

@@ -47,16 +47,16 @@ def make_seg_model(
 
     `bn_momentum` (torch convention) replicates the reference's
     `set_bn_momentum(model.backbone, 0.01)` (seg train.py:285 +
-    utils.py:31-34) via the process-level knob in models/norm.py.
-    The knob is ALWAYS pinned here — to `bn_momentum` when given, else back
-    to the torch default 0.1 — so a momentum configured for one model can
-    never silently leak into the next one built (a 0.01 left behind by a
-    seg training run changed a later quality-gate run's trained weights:
-    order-dependent test flake, round 4).
+    utils.py:31-34): it becomes a DeepLabV3 module attribute and is pinned
+    at each train-mode TRACE of this model — backbone at `bn_momentum`,
+    head at the torch default 0.1, exactly the reference's backbone-only
+    scoping. Trace-entry pinning (not construction-time) makes momentum
+    per-model: building other seg models in between — e.g. the loop's eval
+    model right after its train model — cannot change what this model
+    trains with (a construction-time global pin regressed exactly that;
+    round-4 review), and nothing leaks across models (the round-4
+    order-dependent gate flake).
     """
-    from weatherconverter_tpu.models.norm import set_bn_momentum
-
-    set_bn_momentum(0.1 if bn_momentum is None else bn_momentum)
     if name.startswith("deeplabv3plus_"):
         arch, backbone_name = "deeplabv3plus", name[len("deeplabv3plus_"):]
     elif name.startswith("deeplabv3_"):
@@ -94,7 +94,9 @@ def make_seg_model(
         separable=separable,
         dtype=dtype,
     )
-    return DeepLabV3(backbone=backbone, head=head)
+    return DeepLabV3(
+        backbone=backbone, head=head, train=train, bn_momentum=bn_momentum
+    )
 
 
 SUPPORTED_MODELS = [

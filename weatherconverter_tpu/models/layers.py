@@ -65,7 +65,18 @@ class SelfAttention2D(nn.Module):
         if os.environ.get("WCTPU_ATTN_SKIP_PROJ", "0") == "1":
             # TIMING PROBE ONLY (scripts/ab_translate.py): wrong math — runs
             # attention on un-projected tokens to bound what fusing the
-            # qkv/out projections into the kernel could ever save.
+            # qkv/out projections into the kernel could ever save. The ack
+            # gate below makes a leaked env var fail loudly instead of
+            # silently corrupting outputs AND the param tree (the qkv/out
+            # Dense params would never be created: a checkpoint saved in
+            # that state is missing parameters — CLAUDE.md rule 7).
+            if os.environ.get("WCTPU_TIMING_PROBE_ACK", "0") != "1":
+                raise RuntimeError(
+                    "WCTPU_ATTN_SKIP_PROJ=1 is a WRONG-MATH timing probe "
+                    "(skips the qkv/out projections). Set "
+                    "WCTPU_TIMING_PROBE_ACK=1 as well to confirm this is a "
+                    "timing run, or unset WCTPU_ATTN_SKIP_PROJ."
+                )
             def heads_(t):
                 return t.reshape(b, h * w, hn, d).transpose(0, 2, 1, 3)
 

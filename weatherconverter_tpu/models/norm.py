@@ -3,15 +3,17 @@
 The reference sets BN momentum globally after model construction with
 `set_bn_momentum(model.backbone, momentum=0.01)` (reference:
 seg_model/utils/utils.py:31-34, called at train.py:285). The flax analog is
-this process-level knob read by the factory-built seg models' BatchNorms at
-trace time; `make_seg_model(bn_momentum=...)` PINS it on every call (to its
-arg, or back to the torch default 0.1) so one model's momentum cannot leak
-into the next model built — a leaked 0.01 changed a later run's trained
-weights (round-4 order-dependent test flake). Residual edge (accepted):
-momentum is baked at TRACE time, so constructing seg model B before model
-A's first train-mode apply re-pins the knob; momentum is irrelevant in eval
-mode (use_running_average), and no in-repo flow interleaves two train-mode
-seg models.
+this process-level knob, read by the seg model zoo's BatchNorms at TRACE
+time. It is pinned PER TRAIN-MODE TRACE by models/deeplab.DeepLabV3
+(`bn_momentum=` module attribute from `make_seg_model`): backbone BNs at
+the model's value, head BNs back at the torch default 0.1 — the reference's
+backbone-only scoping. Two failure modes forced this design (round 4):
+a leaked global changed a later quality-gate run's trained weights
+(order-dependent flake), and a construction-time pin was silently undone by
+the training loop building its EVAL model between the train model's
+construction and first trace. Momentum is unused in eval mode
+(use_running_average=True), so eval traces neither read nor perturb
+anything that matters.
 
 Conventions: torch `momentum` m means new = (1-m)*old + m*batch;
 flax `momentum` f means new = f*old + (1-f)*batch, so f = 1 - m.
