@@ -181,3 +181,29 @@ def test_cli_sample_dpm(tmp_path):
         "--batch", "2", "--out", str(out),
     ])
     assert rc == 0 and out.exists()
+
+
+def test_cli_export_hlo(tmp_path):
+    """`export-hlo`: the full guided-translate program exports as StableHLO
+    text (deployment artifact for compile-once serving; params are module
+    ARGUMENTS, not baked constants) — and `--program sample` too."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TINY_YAML)
+    out = tmp_path / "translate.mlir"
+    rc = main([
+        "export-hlo", "--config", str(cfg), "--steps", "3", "--batch", "2",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    text = out.read_text()
+    assert "stablehlo" in text and "func.func public @main" in text
+    # params arrive as arguments: the main signature must carry many tensors
+    sig = text.split("func.func public @main")[1].split("{")[0]
+    assert sig.count("tensor<") > 20, "params appear baked, not arguments"
+
+    out2 = tmp_path / "sample.mlir"
+    rc = main([
+        "export-hlo", "--config", str(cfg), "--program", "sample",
+        "--steps", "3", "--batch", "2", "--out", str(out2),
+    ])
+    assert rc == 0 and "stablehlo" in out2.read_text()

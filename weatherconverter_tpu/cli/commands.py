@@ -376,6 +376,92 @@ def run_infer_seg(args) -> int:
     return 0
 
 
+def run_export_hlo(args) -> int:
+    """Export the jitted inference program as StableHLO text — the
+    deployment artifact for compile-once serving pipelines (load into any
+    XLA-compatible runtime without Python or model code; a capability the
+    torch reference has no analog of). Exports `translate` (the flagship
+    four-model guided pipeline at the config's shapes and batch) or
+    `sample` (the unconditional chain). Weights are NOT baked in: params are
+    function ARGUMENTS in the exported module, exactly like the live jit
+    path (closed-over weights would also stall this backend's compiler —
+    CLAUDE.md rule 3)."""
+    from weatherconverter_tpu.core.config import load_translation_config
+    from weatherconverter_tpu.diffusion.sampling import ddpm_sample
+    from weatherconverter_tpu.diffusion.schedule import make_schedule
+    from weatherconverter_tpu.guidance.translate import sample_with_sgg
+    from weatherconverter_tpu.models.factory import make_seg_model
+    from weatherconverter_tpu.models.srgan import Generator
+    from weatherconverter_tpu.models.unet import Unet
+
+    cfg = load_translation_config(args.config)
+    _enable_int8_attn_inference(args)
+    dcfg = cfg.diffusion
+    size = dcfg.model.im_size
+    sr_factor = cfg.srgan.upscale_factor
+    hr = size * sr_factor
+    num_classes = cfg.seg.model.num_classes
+    B = args.batch
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    unet = Unet(config=dcfg.model, fused=on_tpu)
+    uparams = jax.eval_shape(
+        lambda: unet.init(k1, jnp.zeros((1, size, size, 3)),
+                          jnp.zeros((1,), jnp.int32))
+    )["params"]
+    sched = make_schedule(
+        dcfg.diffusion.schedule, dcfg.diffusion.num_timesteps,
+        dcfg.diffusion.beta_start, dcfg.diffusion.beta_end,
+    )
+    steps = args.steps or cfg.guidance.num_steps
+
+    if args.program == "sample":
+        def fn(up, k):
+            return ddpm_sample(
+                lambda x, t: unet.apply({"params": up}, x, t), sched, k,
+                (B, size, size, 3), num_steps=steps,
+            )
+
+        abstract_args = (uparams, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    else:
+        seg = make_seg_model(cfg.seg.model.name, num_classes,
+                             cfg.seg.model.output_stride, train=False)
+        seg_vars = jax.eval_shape(lambda: seg.init(k2, jnp.zeros((1, hr, hr, 3))))
+        gen = Generator(
+            in_channels=cfg.srgan.in_channels, num_channels=cfg.srgan.num_channels,
+            num_blocks=cfg.srgan.num_blocks, upscale_factor=sr_factor,
+        )
+        gvars = jax.eval_shape(lambda: gen.init(k3, jnp.zeros((1, size, size, 3))))
+
+        def fn(up, sv, gv, inp, gt, k):
+            return sample_with_sgg(
+                lambda x, t: unet.apply({"params": up}, x, t), sched,
+                lambda x: seg.apply(sv, x), lambda x: gen.apply(gv, x),
+                inp, gt, k, lam=cfg.guidance.lambda_, num_steps=steps,
+                num_classes=num_classes, mode=cfg.guidance.mode,
+                start_t=steps - 1,
+            )
+
+        abstract_args = (
+            uparams, seg_vars, gvars,
+            jax.ShapeDtypeStruct((B, size, size, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, hr, hr), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+        )
+
+    lowered = jax.jit(fn).lower(*abstract_args)
+    text = lowered.as_text(dialect="stablehlo")
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(text)
+    n_lines = text.count("\n")
+    print(f"exported {args.program} ({steps} steps, batch {B}) as StableHLO: "
+          f"{args.out} ({n_lines} lines)")
+    return 0
+
+
 def run_visualize(args) -> int:
     """Forward/backward strips (reference: visualizer.py:39-109)."""
     from weatherconverter_tpu.core.config import load_diffusion_config

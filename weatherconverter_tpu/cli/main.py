@@ -122,6 +122,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="keep exact bf16 flash attention (default on TPU: "
                          "int8 QK^T, 2x MXU rate — PROFILE.md round 4)")
 
+    eh = sub.add_parser("export-hlo", help="export the jitted inference "
+                        "program as StableHLO (deployment artifact)")
+    eh.add_argument("--config", default=None, help="translation config YAML")
+    eh.add_argument("--program", default="translate",
+                    choices=["translate", "sample"])
+    eh.add_argument("--steps", type=int, default=None,
+                    help="reverse steps baked into the program (default: "
+                         "cfg.guidance.num_steps)")
+    eh.add_argument("--batch", type=int, default=8)
+    eh.add_argument("--out", default="outputs/translate.stablehlo.mlir")
+    eh.add_argument("--no-int8-attn", action="store_true",
+                    help="keep exact bf16 flash attention in the export")
+
     vz = sub.add_parser("visualize", help="forward/backward process strips")
     vz.add_argument("--config", default=None)
     vz.add_argument("--image", required=True)
@@ -245,6 +258,10 @@ def main(argv=None) -> int:
         )
         serve(service, args.port)
         return 0
+    if args.command == "export-hlo":
+        from weatherconverter_tpu.cli.commands import run_export_hlo
+
+        return run_export_hlo(args)
     if args.command == "visualize":
         from weatherconverter_tpu.cli.commands import run_visualize
 
