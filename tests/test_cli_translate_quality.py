@@ -207,3 +207,28 @@ def test_cli_export_hlo(tmp_path):
         "--steps", "3", "--batch", "2", "--out", str(out2),
     ])
     assert rc == 0 and "stablehlo" in out2.read_text()
+
+
+def test_cli_quality_with_image_directory(tiny_cfg, tmp_path):
+    """`quality --images <dir>`: the dataset mode runs the gates on real
+    paired files (rgb/ + gt/ layout; ACDC *_rgb_anon naming also supported)
+    instead of the synthetic fallback."""
+    rng = np.random.RandomState(0)
+    (tmp_path / "data" / "rgb").mkdir(parents=True)
+    (tmp_path / "data" / "gt").mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+            tmp_path / "data" / "rgb" / f"{i:02d}.png")
+        Image.fromarray(rng.randint(0, 34, (40, 40), dtype=np.uint8)).save(
+            tmp_path / "data" / "gt" / f"{i:02d}.png")
+    out = tmp_path / "q.json"
+    rc = main([
+        "quality", "--config", tiny_cfg, "--images", str(tmp_path / "data"),
+        "--batch", "2", "--steps", "2", "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["data"] == str(tmp_path / "data")
+    assert np.isfinite(report["fid_original_vs_translated"])
+    for k in ("miou_original", "miou_translated", "miou_consistency_gap"):
+        assert np.isfinite(report[k])

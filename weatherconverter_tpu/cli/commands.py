@@ -510,6 +510,44 @@ def run_visualize(args) -> int:
     return 0
 
 
+def _discover_image_label_pairs(root: str) -> list:
+    """Paired (image, labelIds) paths under `root`. Two layouts:
+    (a) ACDC naming anywhere under the tree — `*_rgb_anon.*` with a sibling
+        `*_gt_labelIds.*` (reference acdc.py pairing, incl. the layout
+        data/datasets.SegPairedDataset walks);
+    (b) flat `rgb/` + `gt/` subdirectories paired by sorted order."""
+    import glob as _glob
+    import os as _os
+
+    pairs = []
+    for img in sorted(_glob.glob(_os.path.join(root, "**", "*_rgb_anon.*"),
+                                 recursive=True)):
+        for cand in (
+            img.replace("_rgb_anon", "_gt_labelIds"),
+            img.replace("_rgb_anon", "_gt_labelIds").replace(
+                f"{_os.sep}rgb_anon{_os.sep}", f"{_os.sep}gt{_os.sep}"
+            ),
+        ):
+            if _os.path.exists(cand) and cand != img:
+                pairs.append((img, cand))
+                break
+    if pairs:
+        return pairs
+    rgb_dir, gt_dir = _os.path.join(root, "rgb"), _os.path.join(root, "gt")
+    if _os.path.isdir(rgb_dir) and _os.path.isdir(gt_dir):
+        rgbs = sorted(
+            p for p in _glob.glob(_os.path.join(rgb_dir, "*"))
+            if p.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        gts = sorted(
+            p for p in _glob.glob(_os.path.join(gt_dir, "*"))
+            if p.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        if len(rgbs) == len(gts) and rgbs:
+            return list(zip(rgbs, gts))
+    return []
+
+
 def run_quality(args) -> int:
     """Quality gates for the translation pipeline: FID + mIoU-consistency
     (BASELINE.md north-star: throughput "at FID and mIoU-consistency
@@ -574,11 +612,29 @@ def run_quality(args) -> int:
         inputs = jax.random.uniform(k4, (n, size, size, 3)) * 2.0 - 1.0
         gts = jax.random.randint(k5, (n, hr, hr), 0, num_classes)
     else:
-        from weatherconverter_tpu.data.datasets import SegPairedDataset  # noqa: F401
+        from PIL import Image
 
-        raise SystemExit("--images dataset mode: point --images at a directory "
-                         "with paired rgb/label files (see translate); use "
-                         "--synthetic N for the datasetless report")
+        from weatherconverter_tpu.data.labels import encode_target
+
+        pairs = _discover_image_label_pairs(args.images)
+        if not pairs:
+            raise SystemExit(
+                f"--images {args.images}: no pairs found. Expected either "
+                "ACDC naming (*_rgb_anon.* with matching *_gt_labelIds.*) "
+                "anywhere under the directory, or rgb/ + gt/ subdirectories "
+                "with same-sorted filenames."
+            )
+        imgs, lbls = [], []
+        for img_path, lbl_path in pairs:
+            im = Image.open(img_path).convert("RGB").resize(
+                (size, size), Image.BILINEAR
+            )
+            imgs.append(np.asarray(im, dtype=np.float32) / 255.0 * 2.0 - 1.0)
+            lb = Image.open(lbl_path).resize((hr, hr), Image.NEAREST)
+            lbls.append(encode_target(np.asarray(lb, dtype=np.uint8)))
+        inputs = jnp.asarray(np.stack(imgs))
+        gts = jnp.asarray(np.stack(lbls).astype(np.int32))
+        print(f"quality: {len(pairs)} image/label pairs from {args.images}")
 
     translate = make_translate_fn(
         unet, uparams, sched, seg, seg_vars, gen, gvars,

@@ -93,7 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("quality", help="translation quality gates: FID + mIoU-consistency")
     q.add_argument("--config", default=None, help="translation config YAML")
-    q.add_argument("--images", default=None, help="paired dataset dir (omit for --synthetic)")
+    q.add_argument("--images", default=None,
+                   help="paired dataset dir: ACDC *_rgb_anon/*_gt_labelIds "
+                        "naming anywhere under it, or rgb/ + gt/ subdirs "
+                        "(omit for --synthetic)")
     q.add_argument("--synthetic", type=int, default=8, help="N seeded random inputs when no --images")
     q.add_argument("--ddpm-checkpoint", default=None)
     q.add_argument("--seg-checkpoint", default=None)
