@@ -35,10 +35,64 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Error signatures that mean "the tunneled backend is down", not "the bench
+# code is broken". Only these are converted into a structured outage record
+# (exit 0); anything else still exits non-zero so real bugs stay loud.
+_OUTAGE_PAT = re.compile(
+    r"UNAVAILABLE|DEADLINE_EXCEEDED|backend setup/compile error|"
+    r"[Ff]ailed to initialize.*(backend|TPU)|Unable to initialize backend|"
+    r"Connection (refused|reset)|Socket closed|RESOURCE_EXHAUSTED.*tunnel",
+)
+
+
+def _emit_outage(args, detail: str) -> None:
+    """Record an outage as a parseable JSON line + exit 0 (VERDICT r2 item 2:
+    BENCH_r02.json recorded rc=1 + a raw traceback when the tunnel died;
+    the driver could not distinguish that from a broken bench)."""
+    print(json.dumps({
+        "metric": f"{args.mode}_bench",
+        "value": None,
+        "unit": "translations/min/chip",
+        "vs_baseline": None,
+        "error": "backend unavailable",
+        "detail": detail[-400:],
+    }))
+    sys.exit(0)
+
+
+def _probe_backend(args) -> None:
+    """Verify the backend initializes BEFORE importing jax in this process.
+
+    Backend-init failures on the tunneled v5e come in two flavors: a raised
+    UNAVAILABLE, and a plain HANG (observed: >120 s with no output). Both are
+    only safely detectable from a subprocess with a wall-clock bound — jax
+    caches a failed backend init for the life of the process. Retries with
+    linear backoff ride out short tunnel blips; a persistent outage becomes a
+    structured record instead of a traceback.
+    """
+    last = ""
+    for attempt in range(args.init_retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=args.init_timeout,
+            )
+            if r.returncode == 0:
+                return
+            last = (r.stderr or r.stdout or "unknown init failure").strip()
+        except subprocess.TimeoutExpired:
+            last = f"backend init hang (>{args.init_timeout}s, no response)"
+        if attempt < args.init_retries - 1:
+            time.sleep(args.init_backoff * (attempt + 1))
+    _emit_outage(args, last)
 
 
 def parse_args():
@@ -69,6 +123,14 @@ def parse_args():
                         "extrapolate (official runs measure the full length)")
     p.add_argument("--tiny", action="store_true", help="tiny models (CPU smoke)")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument("--init-retries", type=int, default=4,
+                   help="backend-init probe attempts before recording an "
+                        "outage (subprocess probes: init failures can hang, "
+                        "not just raise)")
+    p.add_argument("--init-timeout", type=float, default=120.0,
+                   help="seconds before one init probe counts as hung")
+    p.add_argument("--init-backoff", type=float, default=30.0,
+                   help="base seconds between probes (linear backoff)")
     p.add_argument("--no-int8-attn", action="store_true",
                    help="disable the int8-QK^T flash-attention inference path "
                         "(default ON for the forward-only translate/sample "
@@ -81,6 +143,19 @@ def main():
     args = parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
+    if args.platform != "cpu":
+        _probe_backend(args)
+    try:
+        _run(args)
+    except Exception as e:  # noqa: BLE001 — filtered: only outages downgrade
+        if _OUTAGE_PAT.search(f"{type(e).__name__}: {e}"):
+            # mid-run backend death (e.g. tunnel drop between probe and the
+            # timed window) — record it as an outage, not a bench failure
+            _emit_outage(args, f"{type(e).__name__}: {e}")
+        raise
+
+
+def _run(args):
     import jax
 
     if args.platform:

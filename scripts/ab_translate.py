@@ -45,6 +45,11 @@ HR = H * SR
 on_tpu = jax.devices()[0].platform in ("tpu", "axon")
 dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+# the LCG chunk sweep is plumbed through the library ARGUMENT (the library
+# itself reads no env vars — ADVICE r2); this harness still accepts the env
+# var as its own launch convention
+LCG_CLASS_CHUNK = int(os.environ.get("WCTPU_LCG_CLASS_CHUNK", "4"))
+
 unet = Unet(config=UnetModelConfig(), fused=on_tpu, dtype=dtype)
 sched = linear_schedule(1000)
 uparams = jax.jit(unet.init)(
@@ -68,7 +73,7 @@ def run(params, key):
         lambda im: gen.apply(gv_, im),
         inp, gt, k2,
         lam=60.0, num_steps=K, num_classes=19, mode="fixed",
-        start_t=K - 1, guidance_style=style,
+        start_t=K - 1, guidance_style=style, lcg_class_chunk=LCG_CLASS_CHUNK,
     )
 
 

@@ -209,6 +209,55 @@ def test_cli_export_hlo(tmp_path):
     assert rc == 0 and "stablehlo" in out2.read_text()
 
 
+def test_cli_translate_fast_sampler_refuses_reference_mode(tmp_path):
+    """--sampler ddim/dpm + --mode reference would silently produce unguided
+    output; the CLI must refuse like serving does (ADVICE r2)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TINY_YAML)
+    img, lbl = tmp_path / "in.png", tmp_path / "lbl.png"
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(img)
+    Image.fromarray(rng.randint(0, 5, (32, 32), dtype=np.uint8)).save(lbl)
+    for sampler in ("ddim", "dpm"):
+        with pytest.raises(SystemExit, match="fast-solver"):
+            main([
+                "translate", "--config", str(cfg), "--image", str(img),
+                "--label", str(lbl), "--sampler", sampler, "--steps", "2",
+                "--mode", "reference", "--out", str(tmp_path / "o.png"),
+            ])
+
+
+def test_discover_pairs_by_stem_not_sorted_order(tmp_path):
+    """rgb/+gt/ pairing matches basename stems; equal counts with disjoint
+    stems REFUSE instead of silently zipping mispaired files (ADVICE r2)."""
+    from weatherconverter_tpu.cli.commands import _discover_image_label_pairs
+
+    rgb = tmp_path / "rgb"
+    gt = tmp_path / "gt"
+    rgb.mkdir(), gt.mkdir()
+    blank = Image.fromarray(np.zeros((4, 4), dtype=np.uint8))
+    # same stems listed in DIFFERENT sorted order vs pair order: sorted-zip
+    # would pair a.png<->a.png only by luck; add a decoy proving stems win
+    for name in ("scene_b.png", "scene_a.png"):
+        blank.save(rgb / name)
+        blank.save(gt / name)
+    pairs = _discover_image_label_pairs(str(tmp_path))
+    assert sorted(pairs) == [
+        (str(rgb / "scene_a.png"), str(gt / "scene_a.png")),
+        (str(rgb / "scene_b.png"), str(gt / "scene_b.png")),
+    ]
+
+    # unequal counts: the matched subset is used, extras skipped
+    blank.save(gt / "orphan_label.png")
+    assert len(_discover_image_label_pairs(str(tmp_path))) == 2
+
+    # equal counts but disagreeing stems: refuse loudly
+    (gt / "orphan_label.png").unlink()
+    (gt / "scene_a.png").rename(gt / "scene_c.png")
+    with pytest.raises(SystemExit, match="stems match"):
+        _discover_image_label_pairs(str(tmp_path))
+
+
 def test_cli_quality_with_image_directory(tiny_cfg, tmp_path):
     """`quality --images <dir>`: the dataset mode runs the gates on real
     paired files (rgb/ + gt/ layout; ACDC *_rgb_anon naming also supported)

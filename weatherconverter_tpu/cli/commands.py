@@ -19,6 +19,9 @@ def _enable_int8_attn_inference(args) -> None:
     this: the int8 pallas_call has no VJP, training keeps exact bf16.
     Opt out with --no-int8-attn."""
     if getattr(args, "no_int8_attn", False):
+        # explicit "0", not an early return: the opt-out must also override a
+        # WCTPU_ATTN_QK_INT8=1 already exported in the shell (ADVICE r2)
+        os.environ["WCTPU_ATTN_QK_INT8"] = "0"
         return
     if jax.devices()[0].platform in ("tpu", "axon"):
         os.environ.setdefault("WCTPU_ATTN_QK_INT8", "1")
@@ -234,12 +237,16 @@ def run_translate(args) -> int:
 
         if args.mode == "reference":
             # the DDPM path replicates the reference's overwrite defect; the
-            # fast-solver paths have no reference analog, so guidance is off
-            print(
-                f"warning: --sampler {sampler} with --mode reference disables "
-                "guidance entirely (the reference's xt-overwrite has no "
-                "fast-solver analog); use --mode fixed for guided translation",
-                file=sys.stderr,
+            # fast-solver paths have no reference analog, so this combination
+            # silently produces UNGUIDED output. Refuse, like serving does
+            # (serving/server.py raises the same) — a warning that scrolls by
+            # is not consent to wrong output (ADVICE r2).
+            raise SystemExit(
+                f"--sampler {sampler} with --mode reference would disable "
+                "guidance entirely (the reference's xt-overwrite defect has "
+                "no fast-solver analog). Use --mode fixed for guided fast "
+                "translation, or --sampler ddpm for the reference-defect "
+                "replication."
             )
         # taus stride the TRANSLATE span (cfg.guidance.num_steps), not the
         # full T: q-sampling to t=T-1 destroys the source (advisor round 1)
@@ -385,7 +392,14 @@ def run_export_hlo(args) -> int:
     `sample` (the unconditional chain). Weights are NOT baked in: params are
     function ARGUMENTS in the exported module, exactly like the live jit
     path (closed-over weights would also stall this backend's compiler —
-    CLAUDE.md rule 3)."""
+    CLAUDE.md rule 3).
+
+    The attention variant is an EXPLICIT export flag, never inferred from the
+    exporting host (ADVICE r2: a platform-dependent export contradicted the
+    "any XLA runtime" claim): `--attn bf16` (default) lowers the plain XLA
+    attention — pure portable StableHLO; `--attn int8` embeds the TPU-only
+    Mosaic custom-calls of the int8-QK^T serving kernel and therefore
+    requires a TPU backend to export and a TPU runtime to load."""
     from weatherconverter_tpu.core.config import load_translation_config
     from weatherconverter_tpu.diffusion.sampling import ddpm_sample
     from weatherconverter_tpu.diffusion.schedule import make_schedule
@@ -395,7 +409,20 @@ def run_export_hlo(args) -> int:
     from weatherconverter_tpu.models.unet import Unet
 
     cfg = load_translation_config(args.config)
-    _enable_int8_attn_inference(args)
+    attn = getattr(args, "attn", "bf16")
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if attn == "int8":
+        if not on_tpu:
+            raise SystemExit(
+                "--attn int8 exports the TPU Mosaic kernel and must be "
+                "lowered on a TPU backend (this host is "
+                f"{jax.devices()[0].platform}); use --attn bf16 for a "
+                "portable export."
+            )
+        os.environ["WCTPU_ATTN_QK_INT8"] = "1"
+    else:
+        os.environ["WCTPU_ATTN_QK_INT8"] = "0"
+    fused_export = attn == "int8"  # bf16 export = plain XLA ops, portable
     dcfg = cfg.diffusion
     size = dcfg.model.im_size
     sr_factor = cfg.srgan.upscale_factor
@@ -405,8 +432,7 @@ def run_export_hlo(args) -> int:
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    unet = Unet(config=dcfg.model, fused=on_tpu)
+    unet = Unet(config=dcfg.model, fused=fused_export)
     uparams = jax.eval_shape(
         lambda: unet.init(k1, jnp.zeros((1, size, size, 3)),
                           jnp.zeros((1,), jnp.int32))
@@ -515,7 +541,9 @@ def _discover_image_label_pairs(root: str) -> list:
     (a) ACDC naming anywhere under the tree — `*_rgb_anon.*` with a sibling
         `*_gt_labelIds.*` (reference acdc.py pairing, incl. the layout
         data/datasets.SegPairedDataset walks);
-    (b) flat `rgb/` + `gt/` subdirectories paired by sorted order."""
+    (b) flat `rgb/` + `gt/` subdirectories paired by matching basename stem;
+        sorted-order zip is accepted only when every stem matches — a silent
+        mispair corrupts the mIoU-consistency gate (ADVICE r2)."""
     import glob as _glob
     import os as _os
 
@@ -543,8 +571,26 @@ def _discover_image_label_pairs(root: str) -> list:
             p for p in _glob.glob(_os.path.join(gt_dir, "*"))
             if p.lower().endswith((".png", ".jpg", ".jpeg"))
         )
-        if len(rgbs) == len(gts) and rgbs:
-            return list(zip(rgbs, gts))
+        if not rgbs:
+            return []
+        stem = lambda p: _os.path.splitext(_os.path.basename(p))[0]
+        gt_by_stem = {stem(p): p for p in gts}
+        by_stem = [(r, gt_by_stem[stem(r)]) for r in rgbs if stem(r) in gt_by_stem]
+        if len(by_stem) == len(rgbs):
+            return by_stem
+        if by_stem and len(rgbs) != len(gts):
+            # unequal dirs with a clean matched subset (e.g. extra labels):
+            # use the subset, say so
+            print(f"quality: pairing {len(by_stem)}/{len(rgbs)} images by "
+                  "basename stem (unmatched files skipped)", file=sys.stderr)
+            return by_stem
+        if len(rgbs) == len(gts):
+            raise SystemExit(
+                f"--images: rgb/ and gt/ hold {len(rgbs)} files each but only "
+                f"{len(by_stem)} basename stems match — refusing to pair by "
+                "sorted order (a mispaired label silently corrupts the "
+                "mIoU-consistency gate). Name labels after their images."
+            )
     return []
 
 

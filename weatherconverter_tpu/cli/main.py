@@ -135,8 +135,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "cfg.guidance.num_steps)")
     eh.add_argument("--batch", type=int, default=8)
     eh.add_argument("--out", default="outputs/translate.stablehlo.mlir")
-    eh.add_argument("--no-int8-attn", action="store_true",
-                    help="keep exact bf16 flash attention in the export")
+    eh.add_argument("--attn", default="bf16", choices=["bf16", "int8"],
+                    help="attention variant baked into the export. Explicit, "
+                         "never inferred from the exporting host's platform: "
+                         "'bf16' is portable StableHLO; 'int8' embeds the "
+                         "TPU-only Mosaic custom-calls of the int8-QK^T "
+                         "kernel (serving default on TPU) and only loads on "
+                         "a TPU runtime")
 
     vz = sub.add_parser("visualize", help="forward/backward process strips")
     vz.add_argument("--config", default=None)

@@ -33,7 +33,6 @@ Known reference defects, handled behind `mode`:
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Callable
 
@@ -172,9 +171,9 @@ def apply_lcg(
     reference's 512px-mask x 128px-latent shape bug, sgg.py:58).
     """
     pool = sr_xt.shape[1] // mu.shape[1]
-    # trace-time A/B override for the in-situ chunk sweep (PROFILE.md r4;
-    # scripts/ab_translate.py sets it) — shipped default stays class_chunk=4
-    class_chunk = int(os.environ.get("WCTPU_LCG_CLASS_CHUNK", class_chunk))
+    # chunking is exact (perf knob only); A/B sweeps pass class_chunk through
+    # this argument — the library reads no env vars (a leaked benchmark flag
+    # must not silently change the compiled program; ADVICE r2)
     g = max(1, min(class_chunk, num_classes))
     num_padded = -(-num_classes // g) * g
     # padded class ids >= num_classes produce all-zero masks -> zero

@@ -72,6 +72,7 @@ def sample_with_sgg(
     num_steps: int = 500,
     num_classes: int = 19,
     mode: str = "fixed",
+    lcg_class_chunk: int = 4,
     start_t: Optional[int] = None,
     normalize_seg_input: bool = False,
     guidance_every: int = 1,
@@ -154,6 +155,7 @@ def sample_with_sgg(
             return apply_lcg(
                 seg_fn, mu, sigma, sr_xt, gt, lam,
                 num_classes=num_classes, noise=z, mode=mode,
+                class_chunk=lcg_class_chunk,
             )
 
         def gsg(_):
@@ -210,6 +212,7 @@ def sample_with_sgg_ddim(
     eta: float = 0.0,
     num_classes: int = 19,
     mode: str = "fixed",
+    lcg_class_chunk: int = 4,
     normalize_seg_input: bool = False,
     guidance_style: str = "alternate",
 ) -> jax.Array:
@@ -273,7 +276,7 @@ def sample_with_sgg_ddim(
             return apply_lcg(
                 seg_fn, mean, guide_scale, sr_xt, gt, lam,
                 num_classes=num_classes, noise=z, mode=mode,
-                noise_scale=sigma_ddim,
+                noise_scale=sigma_ddim, class_chunk=lcg_class_chunk,
             )
 
         def gsg(_):
@@ -317,6 +320,7 @@ def sample_with_sgg_dpm(
     span_t: Optional[int] = None,
     num_classes: int = 19,
     mode: str = "fixed",
+    lcg_class_chunk: int = 4,
     normalize_seg_input: bool = False,
     guidance_style: str = "alternate",
 ) -> jax.Array:
@@ -369,7 +373,7 @@ def sample_with_sgg_dpm(
             return apply_lcg(
                 seg_fn, mean, guide_scale, sr_xt, gt, lam,
                 num_classes=num_classes, noise=z, mode=mode,
-                noise_scale=zero_ns,
+                noise_scale=zero_ns, class_chunk=lcg_class_chunk,
             )
 
         def gsg(_):
