@@ -131,6 +131,17 @@ def parse_args():
                    help="seconds before one init probe counts as hung")
     p.add_argument("--init-backoff", type=float, default=30.0,
                    help="base seconds between probes (linear backoff)")
+    p.add_argument("--guidance-every", type=int, default=1,
+                   help="translate modes: apply guidance every k-th step "
+                        "with lam rescaled by k to preserve the total "
+                        "guidance dose (parity adjudicated by "
+                        "scripts/headline_parity_gate.py)")
+    p.add_argument("--guidance-space", default="sr", choices=["sr", "latent"],
+                   help="translate modes: 'sr' = reference semantics (seg "
+                        "CE on the SRGAN upscale, translation.py:81); "
+                        "'latent' = seg CE directly at latent resolution, "
+                        "skipping the per-step SRGAN (parity adjudicated by "
+                        "the same gate)")
     p.add_argument("--no-int8-attn", action="store_true",
                    help="disable the int8-QK^T flash-attention inference path "
                         "(default ON for the forward-only translate/sample "
@@ -354,6 +365,19 @@ def _run(args):
     # length; --quick restores the old steps//10 extrapolation for smokes
     bench_steps = steps if style == "gsg" or not args.quick else max(steps // 10, 2)
 
+    # guidance-dose-preserving throughput levers (VERDICT r2 item 1):
+    # lam scales with guidance_every so the summed lam*sigma_t*||grad||
+    # over the chain matches the every-step schedule
+    g_every = max(1, args.guidance_every)
+    g_space = args.guidance_space
+    lam_eff = 60.0 * g_every
+    variant = dict(guidance_every=g_every, guidance_space=g_space)
+    var_tag = ""
+    if g_every != 1:
+        var_tag += f"_gevery{g_every}"
+    if g_space != "sr":
+        var_tag += f"_g{g_space}"
+
     diff_fn_of = lambda up: (lambda xt, tt: unet.apply({"params": up}, xt, tt))
     seg_fn_of = lambda sv: (lambda img: seg.apply(sv, img))
     sr_fn_of = lambda gv: (lambda img: gen.apply(gv, img))
@@ -379,16 +403,17 @@ def _run(args):
             inp = jax.random.normal(k1, (B, H, H, 3)) * 0.2
             return sample_with_sgg(
                 diff_fn_of(up), sched, seg_fn_of(sv), sr_fn_of(gv), inp, g, k2,
-                lam=60.0, num_steps=first_len, num_classes=19, mode="fixed",
+                lam=lam_eff, num_steps=first_len, num_classes=19, mode="fixed",
                 start_t=bench_steps - 1, guidance_style=style,
-                t_offset=bench_steps - first_len, final_sr=False,
+                t_offset=bench_steps - first_len, final_sr=False, **variant,
             )
 
         def seg_run(up, sv, gv, g, xt, off, k):
             return sample_with_sgg(
                 diff_fn_of(up), sched, seg_fn_of(sv), sr_fn_of(gv), xt, g, k,
-                lam=60.0, num_steps=SEG, num_classes=19, mode="fixed",
+                lam=lam_eff, num_steps=SEG, num_classes=19, mode="fixed",
                 guidance_style=style, xt_init=xt, t_offset=off, final_sr=False,
+                **variant,
             )
 
         first_j = jax.jit(first_run)
@@ -417,8 +442,8 @@ def _run(args):
             inp = jax.random.normal(k1, (B, H, H, 3)) * 0.2
             return sample_with_sgg(
                 diff_fn_of(up), sched, seg_fn_of(sv), sr_fn_of(gv), inp, g, k2,
-                lam=60.0, num_steps=bench_steps, num_classes=19, mode="fixed",
-                start_t=bench_steps - 1, guidance_style=style,
+                lam=lam_eff, num_steps=bench_steps, num_classes=19, mode="fixed",
+                start_t=bench_steps - 1, guidance_style=style, **variant,
             )
 
         f = jax.jit(run)
@@ -435,7 +460,7 @@ def _run(args):
     # per-step time extrapolated to the full `steps`-step translation
     # (no extrapolation when bench_steps == steps — the official runs)
     value = B * 60.0 / (per_step * steps)
-    suffix = "_alternate_lcg_gsg" if style == "alternate" else ""
+    suffix = ("_alternate_lcg_gsg" if style == "alternate" else "") + var_tag
     print(json.dumps({
         "metric": f"guided_{HR}px_{steps}step_translations_per_min_per_chip{suffix}",
         "value": round(value, 3), "unit": "translations/min/chip",

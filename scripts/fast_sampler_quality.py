@@ -11,7 +11,13 @@ The claim under test: DPM-Solver++(2M) at 20 steps is in the same quality
 band as DDIM at 50 (its convergence-order advantage is already isolated in
 tests/test_sampling.py; this measures the composed guided pipeline).
 
-Run:  python scripts/fast_sampler_quality.py [--fast]
+Statistics (VERDICT r2 item 4): every setting runs --seeds independent
+chain-noise seeds; the lam=0 solver comparison is stated either as a >2
+pooled-sigma separation or as a bounded equivalence band (mean gap ± 2
+sigma), never from one seed. --budget full uses the gate's full training
+budget when the fast one cannot resolve the solvers.
+
+Run:  python scripts/fast_sampler_quality.py [--seeds 5] [--budget fast|full]
 Writes outputs/fast_sampler_quality.json.
 """
 
@@ -37,8 +43,10 @@ from quality_gate import HR, make_world_batch, tiny_train  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--budget", default="fast", choices=["fast", "full"])
     ap.add_argument("--n-eval", type=int, default=16)
+    ap.add_argument("--seeds", type=int, default=5,
+                    help="independent chain-noise seeds per setting")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +63,11 @@ def main():
     from weatherconverter_tpu.metrics.fid import fid_from_batches
     from weatherconverter_tpu.metrics.quality import consistency_gap
 
-    budget = dict(T=100, ddpm_steps=120, seg_steps=120, srgan_steps=150, batch=16)
+    budget = (
+        dict(T=100, ddpm_steps=120, seg_steps=120, srgan_steps=150, batch=16)
+        if args.budget == "fast"
+        else dict(T=100, ddpm_steps=600, seg_steps=800, srgan_steps=500, batch=16)
+    )
     m = tiny_train(budget, log=print)
     unet, uparams, sched = m["unet"], m["uparams"], m["sched"]
     seg, seg_vars, gen, gvars = m["seg"], m["seg_vars"], m["gen"], m["gvars"]
@@ -70,9 +82,9 @@ def main():
     # per-process randomized, which made runs irreproducible — review r4)
     KIND_IDX = {"ddpm": 1, "ddim": 2, "dpm": 3}
 
-    def translate(kind, steps, lam):
+    def translate(kind, steps, lam, seed):
         common = dict(lam=lam, num_classes=5, mode="fixed", guidance_style="gsg")
-        k = jax.random.fold_in(key, KIND_IDX[kind])
+        k = jax.random.fold_in(key, KIND_IDX[kind] + 16 * seed)
         if kind == "ddpm":
             f = lambda: sample_with_sgg(
                 diff_fn, sched, seg_fn, sr_fn, lr, labels, k,
@@ -94,7 +106,8 @@ def main():
         ).astype(jnp.float32)
     )
 
-    report = {"budget": budget, "n_eval": args.n_eval, "settings": {}, "note": (
+    report = {"budget": budget, "n_eval": args.n_eval,
+              "n_seeds": args.seeds, "settings": {}, "note": (
         "lam=60 rows measure the GUIDED pipeline (FID grows with total "
         "guidance dose, i.e. with step count — the gate's lambda-monotone "
         "property along the step axis); lam=0 rows isolate SOLVER fidelity "
@@ -105,30 +118,70 @@ def main():
             ("dpm_10", "dpm", 10, 60.0),
             ("lam0_ddim_50", "ddim", 50, 0.0), ("lam0_ddim_20", "ddim", 20, 0.0),
             ("lam0_dpm_20", "dpm", 20, 0.0), ("lam0_dpm_10", "dpm", 10, 0.0)]
+    def stat(vals):
+        a = np.asarray(vals, dtype=np.float64)
+        return {"mean": round(float(a.mean()), 4),
+                "std": round(float(a.std(ddof=1)), 4),
+                "values": [round(float(v), 4) for v in a]}
+
     for name, kind, steps, lam in runs:
-        out = translate(kind, steps, lam)
-        fid = float(fid_from_batches(backbone_fn, [hr], [out]))
-        gap = consistency_gap(
-            seg_fn, [(hr, labels)], [(out, labels)], num_classes=5
-        )
+        fids, mious, gaps = [], [], []
+        for sd in range(args.seeds):
+            out = translate(kind, steps, lam, sd)
+            fids.append(float(fid_from_batches(backbone_fn, [hr], [out])))
+            gap = consistency_gap(
+                seg_fn, [(hr, labels)], [(out, labels)], num_classes=5
+            )
+            mious.append(gap["translated_miou"])
+            gaps.append(gap["miou_consistency_gap"])
         report["settings"][name] = {
             "steps": steps,
-            "fid_backbone": round(fid, 4),
-            "miou_translated": round(gap["translated_miou"], 4),
-            "miou_gap": round(gap["miou_consistency_gap"], 4),
+            "fid_backbone": stat(fids),
+            "miou_translated": stat(mious),
+            "miou_gap": stat(gaps),
         }
         print(name, report["settings"][name], flush=True)
 
     s = report["settings"]
-    # solver-fidelity verdicts (lam=0 rows): 2nd order at 20 steps should be
-    # in the band of 1st order at 50, and no worse than 1st order at 20
-    report["solver_dpm20_in_ddim50_band"] = bool(
-        s["lam0_dpm_20"]["fid_backbone"]
-        <= 1.5 * s["lam0_ddim_50"]["fid_backbone"] + 1.0
-    )
-    report["solver_dpm20_beats_ddim20"] = bool(
-        s["lam0_dpm_20"]["fid_backbone"] <= s["lam0_ddim_20"]["fid_backbone"]
-    )
+
+    def z_and_band(a, b):
+        """Separation of a vs b in pooled sigmas + the 2-sigma equivalence
+        band on the mean gap (VERDICT r2 item 4: separate or bound, never
+        one-seed ordering)."""
+        import math
+
+        pooled = math.sqrt((a["std"] ** 2 + b["std"] ** 2) / 2.0)
+        gap = a["mean"] - b["mean"]
+        return {
+            "mean_gap": round(gap, 4),
+            "pooled_std": round(pooled, 4),
+            "z": round(gap / max(pooled, 1e-9), 2),
+            "separates_2sigma": bool(abs(gap) > 2.0 * pooled),
+            "equivalence_band_2sigma": [round(gap - 2 * pooled, 4),
+                                        round(gap + 2 * pooled, 4)],
+        }
+
+    # solver-fidelity comparisons (lam=0 rows): positive gap = DPM worse
+    report["solver_dpm20_vs_ddim50"] = z_and_band(
+        s["lam0_dpm_20"]["fid_backbone"], s["lam0_ddim_50"]["fid_backbone"])
+    report["solver_dpm20_vs_ddim20"] = z_and_band(
+        s["lam0_dpm_20"]["fid_backbone"], s["lam0_ddim_20"]["fid_backbone"])
+    report["solver_dpm10_vs_ddim50"] = z_and_band(
+        s["lam0_dpm_10"]["fid_backbone"], s["lam0_ddim_50"]["fid_backbone"])
+
+    d50 = report["solver_dpm20_vs_ddim50"]
+    if d50["separates_2sigma"]:
+        verdict = ("dpm20 is measurably {} than ddim50 at lam=0 "
+                   "(z={})").format(
+                       "worse" if d50["mean_gap"] > 0 else "better", d50["z"])
+    else:
+        verdict = ("dpm20 and ddim50 are equivalent within the 2-sigma band "
+                   f"{d50['equivalence_band_2sigma']} backbone-FID at lam=0; "
+                   "the serving recommendation (dpm at 20 steps, 2.5x fewer "
+                   "model calls than ddim-50) stands on the bounded band "
+                   "plus the analytic-oracle convergence advantage "
+                   "(tests/test_sampling.py)")
+    report["conclusion"] = verdict
     path = os.path.join(REPO, "outputs", "fast_sampler_quality.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

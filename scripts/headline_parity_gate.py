@@ -1,0 +1,189 @@
+"""Parity referee for the headline throughput levers (VERDICT r2 item 1).
+
+The north-star (BASELINE.json) is ">=20 guided 256px 1000-step
+translations/min/chip ... at FID and mIoU-consistency parity" — parity of
+OUTPUT QUALITY, not of schedule. Kernel-level levers are measured-exhausted
+(PROFILE.md rounds 2-4); the remaining levers are algorithmic:
+
+  gevery2   guidance every 2nd step, lam x2 (dose-preserving)
+  glatent   seg CE differentiated at latent resolution, per-step SRGAN
+            skipped (guidance/translate.py guidance_space='latent')
+  both      the two composed
+
+Each candidate runs on the quality gate's tiny-TRAINED world (the same
+machinery as scripts/quality_gate.py) with --seeds independent chain-noise
+seeds, against the reference-exact schedule (guidance every step, sr space,
+lam=60, guidance_style='gsg' — the headline schedule bench.py times). A
+candidate PASSES parity iff BOTH statistics sit within 2 pooled sigmas of
+the exact schedule's seed distribution:
+
+    |FID_cand - FID_exact|   <= 2 sigma_pooled
+    |mIoU_cand - mIoU_exact| <= 2 sigma_pooled
+
+plus the catastrophe guard (candidate must still beat guidance-off on FID
+separation if the exact schedule does).
+
+Run:  python scripts/headline_parity_gate.py [--seeds 5] [--fast]
+Writes outputs/headline_parity_r05.json. The bench variant that ships as
+the headline must cite this artifact; candidates failing parity are
+reported but must NOT become the headline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+from quality_gate import C, make_world_batch, tiny_train  # noqa: E402
+
+
+def run_candidates(models, n_eval, num_steps, n_seeds, candidates, log=print):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weatherconverter_tpu.guidance.translate import sample_with_sgg
+    from weatherconverter_tpu.metrics.fid import fid_from_batches
+    from weatherconverter_tpu.metrics.quality import consistency_gap
+
+    unet, sched = models["unet"], models["sched"]
+    seg, seg_vars = models["seg"], models["seg_vars"]
+    gen, gvars = models["gen"], models["gvars"]
+    uparams = models["uparams"]
+
+    lr_in, hr_in, labels = make_world_batch(jax.random.PRNGKey(100), n_eval)
+    seg_fn = lambda x: seg.apply(seg_vars, x)
+    feature_fn = lambda x: jnp.mean(
+        seg.apply(seg_vars, x, method=lambda m, im: m.backbone(im))["out"],
+        axis=(1, 2),
+    ).astype(jnp.float32)
+
+    def make_translate(every, space):
+        @jax.jit
+        def translate(up, sv, gv, i_, g_, k_, lam):
+            return sample_with_sgg(
+                lambda xt, tt: unet.apply({"params": up}, xt, tt), sched,
+                lambda im: seg.apply(sv, im),
+                lambda im: gen.apply(gv, im),
+                i_, g_, k_, lam=lam, num_steps=num_steps, num_classes=C,
+                mode="fixed", guidance_style="gsg", start_t=num_steps - 1,
+                guidance_every=every, guidance_space=space,
+            )
+        return translate
+
+    def stat(vals):
+        a = np.asarray(vals, dtype=np.float64)
+        return {"mean": round(float(a.mean()), 4),
+                "std": round(float(a.std(ddof=1)), 4),
+                "values": [round(float(v), 4) for v in a]}
+
+    report = {}
+    for name, every, space, lam in candidates:
+        tr = make_translate(every, space)
+        fids, mious = [], []
+        for s in range(n_seeds):
+            out = tr(uparams, seg_vars, gvars, lr_in, labels,
+                     jax.random.PRNGKey(7 + 16 * s), jnp.float32(lam))
+            gap = consistency_gap(seg_fn, [(hr_in, labels)], [(out, labels)], C)
+            fids.append(float(fid_from_batches(feature_fn, [hr_in], [out])))
+            mious.append(gap["translated_miou"])
+        report[name] = {"guidance_every": every, "guidance_space": space,
+                        "lam": lam, "fid_backbone": stat(fids),
+                        "miou_translated": stat(mious)}
+        log(f"{name}: fid={report[name]['fid_backbone']['mean']:.2f}"
+            f"±{report[name]['fid_backbone']['std']:.2f} "
+            f"miou={report[name]['miou_translated']['mean']:.4f}"
+            f"±{report[name]['miou_translated']['std']:.4f}")
+    return report
+
+
+def adjudicate(report):
+    def z(a, b):
+        pooled = math.sqrt((a["std"] ** 2 + b["std"] ** 2) / 2.0)
+        return (a["mean"] - b["mean"]) / max(pooled, 1e-9)
+
+    exact = report["exact"]
+    verdicts = {}
+    for name, r in report.items():
+        if name in ("exact", "lam0"):
+            continue
+        z_fid = z(r["fid_backbone"], exact["fid_backbone"])
+        z_miou = z(r["miou_translated"], exact["miou_translated"])
+        # the candidate must also remain on the guided side of the lam0
+        # separation the exact schedule shows (catastrophe guard): its FID
+        # shift vs guidance-off must have the same sign as exact's
+        guard = True
+        if "lam0" in report:
+            exact_vs_off = exact["fid_backbone"]["mean"] - report["lam0"]["fid_backbone"]["mean"]
+            cand_vs_off = r["fid_backbone"]["mean"] - report["lam0"]["fid_backbone"]["mean"]
+            guard = (exact_vs_off == 0) or (cand_vs_off * exact_vs_off > 0)
+        verdicts[name] = {
+            "z_fid_vs_exact": round(z_fid, 2),
+            "z_miou_vs_exact": round(z_miou, 2),
+            "guided_side_guard": bool(guard),
+            "parity": bool(abs(z_fid) <= 2.0 and abs(z_miou) <= 2.0 and guard),
+        }
+    return verdicts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--n-eval", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+
+    budget = (
+        dict(T=100, ddpm_steps=120, seg_steps=120, srgan_steps=150, batch=16)
+        if args.fast
+        else dict(T=100, ddpm_steps=600, seg_steps=800, srgan_steps=500, batch=16)
+    )
+    models = tiny_train(budget)
+    candidates = [
+        ("exact", 1, "sr", 60.0),          # the schedule bench.py times today
+        ("lam0", 1, "sr", 0.0),            # guidance-off anchor for the guard
+        ("gevery2", 2, "sr", 120.0),       # dose-preserving skip
+        ("glatent", 1, "latent", 60.0),    # latent-resolution guidance
+        ("both", 2, "latent", 120.0),      # composed
+    ]
+    report = run_candidates(models, args.n_eval, 50, args.seeds, candidates)
+    verdicts = adjudicate(report)
+
+    out = {
+        "world": "quality_gate tiny-TRAINED world (structured 5-class)",
+        "budget": budget, "translate_steps": 50, "n_seeds": args.seeds,
+        "headline_style": "gsg (the bench.py headline schedule)",
+        "settings": report,
+        "verdicts": verdicts,
+        "criterion": "parity iff |z_fid|<=2 and |z_miou|<=2 vs the exact "
+                     "schedule's seed distribution, plus the guided-side "
+                     "guard vs lam0",
+    }
+    os.makedirs(os.path.join(REPO, "outputs"), exist_ok=True)
+    path = os.path.join(REPO, "outputs", "headline_parity_r05.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+    print(json.dumps(verdicts, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,7 +10,12 @@ The int8 path is inference-only (bench.py/CLI translate+sample); training
 always uses the exact kernel. This script is the in-situ quality gate for
 that default (PROFILE.md round 4).
 
-Usage: python scripts/int8_quality_check.py [K=1000] [B=8]
+The chaos FLOOR is a distribution, not a point (VERDICT r2 item 3): the
+int8 trajectory is compared against N innocuous same-scale perturbation
+runs (default 5), and must sit within 2 sigma of that floor's mean on both
+statistics. Writes outputs/int8_quality_r05.json.
+
+Usage: python scripts/int8_quality_check.py [K=1000] [B=8] [N_FLOOR=5]
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ from weatherconverter_tpu.models.unet import Unet
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+N_FLOOR = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 H, SR = 128, 2
 HR = H * SR
 
@@ -60,7 +66,7 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("variant", "perturb"))
-def run(params, key, salt, variant, perturb=False):
+def run(params, key, salt, variant, perturb=False, pert_seed=1):
     # `variant` is STATIC so each flag setting gets its own trace — jax's
     # in-process jit cache keys on (function, avals, statics), NOT on env
     # vars read at trace time; without it the second variant silently
@@ -78,7 +84,9 @@ def run(params, key, salt, variant, perturb=False):
         # quantization-noise scale — how far the ITERATED chain diverges
         # from ANY same-scale disturbance, the fair yardstick for the int8
         # trajectory divergence (a 1000-step guided chain is chaotic).
-        inp = inp + 1e-3 * jax.random.normal(jax.random.fold_in(k1, 1), inp.shape)
+        inp = inp + 1e-3 * jax.random.normal(
+            jax.random.fold_in(k1, pert_seed), inp.shape
+        )
     inp = jnp.where(salt > -1.0, inp, jnp.zeros_like(inp))
     return sample_with_sgg(
         lambda xt, tt: unet.apply({"params": up_}, xt, tt),
@@ -98,13 +106,19 @@ def seg_pred(sv_, img):
 allp = (uparams, seg_vars, gvars)
 key = jax.random.PRNGKey(42)
 
+runs = [("bf16", "0", False, 0), ("int8", "1", False, 0)]
+runs += [(f"bf16-pert{s}", "0", True, s) for s in range(1, N_FLOOR + 1)]
+
 outs = {}
-for salt, (name, flag, pert) in enumerate((
-    ("bf16", "0", False), ("int8", "1", False), ("bf16-pert", "0", True),
-)):
+for salt, (name, flag, pert, ps) in enumerate(runs):
     os.environ["WCTPU_ATTN_QK_INT8"] = flag
+    # floor runs share ONE static variant ("bf16-pert"): the env flag is
+    # identical across them, so one trace is correct — pert_seed is a
+    # runtime arg and must not trigger 5 recompiles of a 1000-step program
+    variant = "bf16-pert" if pert else name
     out = np.asarray(
-        run(allp, key, jnp.float32(salt), variant=name, perturb=pert)
+        run(allp, key, jnp.float32(salt), variant=variant, perturb=pert,
+            pert_seed=ps)
         .astype(jnp.float32)
     )
     pred = np.asarray(jax.jit(seg_pred)(seg_vars, jnp.asarray(out)))
@@ -117,7 +131,7 @@ a, pa = outs["bf16"]
 def against_bf16(name):
     b, pb = outs[name]
     diff = np.abs(a - b)
-    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
     agree = float((pa == pb).mean())
     print(f"{name} vs bf16:  max|diff| {diff.max():.5f}  "
           f"mean|diff| {diff.mean():.6f}  pearson {corr:.6f}  "
@@ -126,13 +140,46 @@ def against_bf16(name):
 
 
 corr_i8, agree_i8 = against_bf16("int8")
-corr_fl, agree_fl = against_bf16("bf16-pert")
+floor = [against_bf16(f"bf16-pert{s}") for s in range(1, N_FLOOR + 1)]
+floor_corr = np.asarray([c for c, _ in floor])
+floor_agree = np.asarray([g for _, g in floor])
+cm, cs = float(floor_corr.mean()), float(floor_corr.std(ddof=1))
+gm, gs = float(floor_agree.mean()), float(floor_agree.std(ddof=1))
+print(f"chaos floor over {N_FLOOR} perturbation seeds: "
+      f"corr {cm:.6f}±{cs:.6f}  seg-agree {gm:.5f}±{gs:.5f}")
+
 # PASS iff (1) the quality statistic of record holds (translated images
 # segment the same) and (2) the int8 trajectory diverges no further than the
-# chaos floor — what a same-scale innocuous perturbation does to this
-# 1000-step chain. Absolute pixel correlation is NOT the criterion: the
-# iterated chain is chaotic, so any epsilon-scale change decorrelates pixels
-# without changing the output distribution (means/stds match to 1e-4).
-ok = agree_i8 > 0.97 and corr_i8 >= corr_fl - 0.02
+# chaos-floor DISTRIBUTION — within 2 sigma of what same-scale innocuous
+# perturbations do to this 1000-step chain (VERDICT r2 item 3: the old
+# one-seed floor left a 1e-4 margin with no error bar). Absolute pixel
+# correlation is NOT the criterion: the iterated chain is chaotic, so any
+# epsilon-scale change decorrelates pixels without changing the output
+# distribution (means/stds match to 1e-4).
+ok = (agree_i8 > 0.97
+      and corr_i8 >= cm - 2.0 * cs
+      and agree_i8 >= gm - 2.0 * gs)
+
+import json
+
+artifact = {
+    "steps": K, "batch": B, "n_floor_seeds": N_FLOOR,
+    "int8": {"pearson": corr_i8, "seg_agree": agree_i8},
+    "chaos_floor": {
+        "pearson": {"mean": cm, "std": cs, "values": floor_corr.tolist()},
+        "seg_agree": {"mean": gm, "std": gs, "values": floor_agree.tolist()},
+    },
+    "criteria": {
+        "seg_agree_abs_min": 0.97,
+        "within_2sigma_of_floor": bool(corr_i8 >= cm - 2.0 * cs
+                                       and agree_i8 >= gm - 2.0 * gs),
+    },
+    "pass": bool(ok),
+}
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.makedirs(os.path.join(repo, "outputs"), exist_ok=True)
+with open(os.path.join(repo, "outputs", "int8_quality_r05.json"), "w") as fj:
+    json.dump(artifact, fj, indent=2)
+print("wrote outputs/int8_quality_r05.json")
 print("INT8 QUALITY OK" if ok else "INT8 QUALITY FAIL")
 sys.exit(0 if ok else 1)

@@ -20,7 +20,7 @@ collapses under the reference-overwrite mode. Concretely, the round-3
 what code review had to.
 
 Run:  python scripts/quality_gate.py [--fast]      (CPU 8-dev mesh, ~10 min)
-Writes outputs/quality_r04.json. tests/test_quality_gate.py runs the same
+Writes outputs/quality_r05.json (mean±std over --seeds chain seeds). tests/test_quality_gate.py runs the same
 machinery with a smaller budget.
 """
 
@@ -159,10 +159,15 @@ def tiny_train(budget: dict, seed: int = 0, log=print):
 
 
 def evaluate_settings(models, n_eval: int, num_steps: int, seed: int = 100,
-                      log=print):
-    """Translate n_eval scenes under each guidance setting; gate each."""
+                      n_seeds: int = 5, log=print):
+    """Translate n_eval scenes under each guidance setting, `n_seeds` times
+    each with independent chain-noise keys (the eval world is FIXED so the
+    per-setting spread is pure sampling noise — the floor every separation
+    claim is tested against; VERDICT r2 item 3: two seeds were not a
+    distribution). Returns {setting: {stat: {mean, std, values}}}."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from weatherconverter_tpu.guidance.translate import sample_with_sgg
     from weatherconverter_tpu.metrics.fid import fid_from_batches
@@ -201,36 +206,60 @@ def evaluate_settings(models, n_eval: int, num_steps: int, seed: int = 100,
     ).astype(jnp.float32)
 
     settings = [
-        ("lam0", 0.0, False, 7),
-        ("lam15", 15.0, False, 7),
-        ("lam60", 60.0, False, 7),
-        ("lam60_seed2", 60.0, False, 23),  # seed-noise floor for the bands
-        ("lam60_reference_mode", 60.0, True, 7),
+        ("lam0", 0.0, False),
+        ("lam15", 15.0, False),
+        ("lam60", 60.0, False),
+        ("lam60_reference_mode", 60.0, True),
     ]
     report = {}
-    for name, lam, is_ref, rngseed in settings:
+    for name, lam, is_ref in settings:
         tr = translate_ref if is_ref else translate_fixed
-        out = tr(
-            uparams, seg_vars, gvars, lr_in, labels,
-            jax.random.PRNGKey(rngseed), jnp.float32(lam),
-        )
-        gap = consistency_gap(seg_fn, [(hr_in, labels)], [(out, labels)], C)
-        fid = fid_from_batches(feature_fn, [hr_in], [out])
+        fids, mious, gaps = [], [], []
+        for s in range(n_seeds):
+            out = tr(
+                uparams, seg_vars, gvars, lr_in, labels,
+                jax.random.PRNGKey(7 + 16 * s), jnp.float32(lam),
+            )
+            gap = consistency_gap(seg_fn, [(hr_in, labels)], [(out, labels)], C)
+            fids.append(float(fid_from_batches(feature_fn, [hr_in], [out])))
+            mious.append(gap["translated_miou"])
+            gaps.append(gap["miou_consistency_gap"])
+
+        def stat(vals):
+            a = np.asarray(vals, dtype=np.float64)
+            return {
+                "mean": round(float(a.mean()), 4),
+                # ddof=1: these ARE sample stds of a small sample
+                "std": round(float(a.std(ddof=1)), 4),
+                "values": [round(float(v), 4) for v in a],
+            }
+
         report[name] = {
-            "miou_translated": round(gap["translated_miou"], 4),
-            "miou_original": round(gap["original_miou"], 4),
-            "miou_gap": round(gap["miou_consistency_gap"], 4),
-            "fid_backbone": round(float(fid), 4),
+            "fid_backbone": stat(fids),
+            "miou_translated": stat(mious),
+            "miou_gap": stat(gaps),
+            "n_seeds": n_seeds,
         }
-        log(f"{name}: miou_tr={report[name]['miou_translated']:.4f} "
-            f"fid={report[name]['fid_backbone']:.2f}")
+        log(f"{name}: fid={report[name]['fid_backbone']['mean']:.2f}"
+            f"±{report[name]['fid_backbone']['std']:.2f} "
+            f"miou_tr={report[name]['miou_translated']['mean']:.4f}"
+            f"±{report[name]['miou_translated']['std']:.4f}")
     return report
+
+
+def _sep_z(hi: dict, lo: dict) -> float:
+    """Gap between two settings in units of their POOLED per-seed std —
+    the separation statistic every 'catches_X' claim must clear at 2."""
+    import math
+
+    pooled = math.sqrt((hi["std"] ** 2 + lo["std"] ** 2) / 2.0)
+    return (hi["mean"] - lo["mean"]) / max(pooled, 1e-9)
 
 
 def discrimination(report: dict) -> dict:
     """The gate's verdicts: does the report's SIGNATURE separate guidance
-    settings measurably, i.e. would a mis-set lambda or a mode regression
-    land outside the blessed lam=60/'fixed' band?
+    settings beyond the measured seed-noise distribution (VERDICT r2 item 3:
+    every claim must clear 2 pooled stds, not a one-seed point estimate)?
 
     Which statistic is lambda-sensitive follows from the algorithm itself:
     the reference's guidance adds the CE-gradient MAGNITUDE (a non-negative
@@ -242,22 +271,37 @@ def discrimination(report: dict) -> dict:
     reference-overwrite bug (translation.py:90) collapses it outright."""
     m = {k: v["miou_translated"] for k, v in report.items()}
     f = {k: v["fid_backbone"] for k, v in report.items()}
+    z_15_0 = _sep_z(f["lam15"], f["lam0"])
+    z_60_15 = _sep_z(f["lam60"], f["lam15"])
+    z_60_0 = _sep_z(f["lam60"], f["lam0"])
+    z_mode = _sep_z(m["lam60"], m["lam60_reference_mode"])
     return {
-        "fid_by_lambda": [f["lam0"], f["lam15"], f["lam60"]],
+        "fid_by_lambda": [f["lam0"]["mean"], f["lam15"]["mean"],
+                          f["lam60"]["mean"]],
+        "fid_std_by_lambda": [f["lam0"]["std"], f["lam15"]["std"],
+                              f["lam60"]["std"]],
         "miou_lam60_minus_reference_mode": round(
-            m["lam60"] - m["lam60_reference_mode"], 4
+            m["lam60"]["mean"] - m["lam60_reference_mode"]["mean"], 4
         ),
-        "fid_monotone_in_lambda": bool(f["lam0"] < f["lam15"] < f["lam60"]),
-        # the round-3 bug (lam=15 shipped where 60 was intended) moves FID
-        # by >1.5x — far outside the measured seed-noise floor below
-        "fid_seed_noise_rel": round(
-            abs(f["lam60"] - f["lam60_seed2"]) / max(f["lam60"], 1e-9), 4
+        # separation z-scores (gap / pooled per-seed std); claims need > 2
+        "z_fid_lam15_vs_lam0": round(z_15_0, 2),
+        "z_fid_lam60_vs_lam15": round(z_60_15, 2),
+        "z_fid_lam60_vs_lam0": round(z_60_0, 2),
+        "z_miou_fixed_vs_reference_mode": round(z_mode, 2),
+        "fid_monotone_in_lambda": bool(
+            f["lam0"]["mean"] < f["lam15"]["mean"] < f["lam60"]["mean"]
         ),
-        "catches_lam15_regression": bool(f["lam60"] > 1.5 * f["lam15"]),
-        "catches_guidance_off": bool(f["lam60"] > 2.0 * f["lam0"]),
+        # monotonicity claimed only when BOTH adjacent gaps clear 2 sigma
+        # (the r2 verdict flagged lam15-vs-lam0 as inside noise — this field
+        # reports that honestly instead of a point-estimate boolean)
+        "fid_monotone_beyond_2sigma": bool(z_15_0 > 2.0 and z_60_15 > 2.0),
+        # the round-3 bug shipped lam=15 where 60 was intended: caught iff
+        # lam60 separates from lam15 beyond 2 sigma of seed noise
+        "catches_lam15_regression": bool(z_60_15 > 2.0),
+        "catches_guidance_off": bool(z_60_0 > 2.0),
         "catches_reference_overwrite": bool(
-            (m["lam60"] > m["lam60_reference_mode"] + 0.05)
-            or (f["lam60_reference_mode"] > 10 * f["lam60"])
+            z_mode > 2.0
+            and m["lam60"]["mean"] > m["lam60_reference_mode"]["mean"] + 0.05
         ),
     }
 
@@ -265,6 +309,9 @@ def discrimination(report: dict) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--seeds", type=int, default=5,
+                    help="independent chain-noise seeds per setting (>=5 for "
+                         "the committed artifact; every claim needs 2 sigma)")
     args = ap.parse_args()
 
     import jax
@@ -277,7 +324,8 @@ def main():
         else dict(T=100, ddpm_steps=600, seg_steps=800, srgan_steps=500, batch=16)
     )
     models = tiny_train(budget)
-    report = evaluate_settings(models, n_eval=16, num_steps=50)
+    report = evaluate_settings(models, n_eval=16, num_steps=50,
+                               n_seeds=args.seeds)
     disc = discrimination(report)
 
     out = {
@@ -287,11 +335,12 @@ def main():
                    "(ddpm eps-MSE, seg CE, srgan L1) — not random-init",
         "budget": budget,
         "translate_steps": 50,
+        "n_seeds_per_setting": args.seeds,
         "settings": report,
         "discrimination": disc,
     }
     os.makedirs(os.path.join(REPO, "outputs"), exist_ok=True)
-    path = os.path.join(REPO, "outputs", "quality_r04.json")
+    path = os.path.join(REPO, "outputs", "quality_r05.json")
     with open(path, "w") as fjson:
         json.dump(out, fjson, indent=2)
     print(f"wrote {path}")
@@ -301,7 +350,9 @@ def main():
         and disc["catches_reference_overwrite"]
         and disc["catches_lam15_regression"]
         and disc["fid_monotone_in_lambda"]
-    )
+    )  # fid_monotone_beyond_2sigma is reported but not required: the
+    # lam15-vs-lam0 gap may sit inside seed noise at this tiny budget
+    # (VERDICT r2 item 3) — the gate's job is catching the three regressions
     print("GATE DISCRIMINATES" if ok else "GATE DOES NOT DISCRIMINATE")
     return 0 if ok else 1
 

@@ -116,6 +116,115 @@ def test_sample_with_sgg_end_to_end_jits():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_guidance_every_and_space_collapse_to_unguided_at_lam0():
+    """The throughput levers must not perturb the unguided chain: at lam=0
+    every (guidance_every, guidance_space) combination consumes the same
+    keys and produces the same trajectory."""
+    sched = linear_schedule(6)
+    diff_fn = lambda xt, t: 0.1 * xt
+    sr_fn = lambda x: jnp.clip(jnp.repeat(jnp.repeat(x, 4, 1), 4, 2) * 0.5 + 0.5, 0, 1)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (B, h, h, 3))
+    gt = jax.random.randint(jax.random.PRNGKey(7), (B, H, H), 0, C)
+
+    def run(every, space):
+        return sample_with_sgg(
+            diff_fn, sched, linear_seg_fn, sr_fn, x0, gt,
+            jax.random.PRNGKey(8), lam=0.0, num_steps=6, num_classes=C,
+            mode="fixed", start_t=3, guidance_style="gsg",
+            guidance_every=every, guidance_space=space,
+        )
+
+    base = np.asarray(run(1, "sr"))
+    for every, space in ((2, "sr"), (1, "latent"), (3, "latent")):
+        np.testing.assert_allclose(
+            np.asarray(run(every, space)), base, atol=1e-6,
+            err_msg=f"lam=0 chain changed under every={every} space={space}",
+        )
+
+
+def test_guidance_every_guides_only_multiples():
+    """guidance_every=k fires the guidance term only on steps i % k == 0
+    (i != 0): with a constant unit guidance field the accumulated shift
+    counts exactly the fired steps."""
+    sched = linear_schedule(8)
+    diff_fn = lambda xt, t: jnp.zeros_like(xt)
+    sr_fn = lambda x: jnp.repeat(jnp.repeat(x, 4, 1), 4, 2)
+    x0 = jnp.zeros((B, h, h, 3))
+    gt = jax.random.randint(jax.random.PRNGKey(7), (B, H, H), 0, C)
+
+    outs = {}
+    for every in (1, 2, 4):
+        outs[every] = np.asarray(sample_with_sgg(
+            diff_fn, sched, linear_seg_fn, sr_fn, x0, gt,
+            jax.random.PRNGKey(8), lam=5.0, num_steps=8, num_classes=C,
+            mode="fixed", start_t=7, guidance_style="gsg",
+            guidance_every=every,
+        ))
+    # more skipped guidance -> strictly different trajectory, and the
+    # every=2 output sits between every=1 and every=4 in guidance energy
+    d12 = np.abs(outs[1] - outs[2]).max()
+    d14 = np.abs(outs[1] - outs[4]).max()
+    assert d12 > 1e-6 and d14 > 1e-6
+    assert d14 > d12, (d12, d14)
+
+
+def test_guidance_space_latent_end_to_end():
+    """'latent' guidance runs the whole jitted chain without calling sr_fn
+    per step (only the final upscale) and stays finite; the field is
+    dose-matched by 1/pool^2 (the per-image CE is a mean over pool^2 fewer
+    pixels at latent resolution)."""
+    sched = linear_schedule(6)
+    diff_fn = lambda xt, t: jnp.zeros_like(xt)
+    calls = []
+
+    def counting_sr(x):
+        calls.append(1)  # traced once per call SITE, not per step
+        return jnp.clip(jnp.repeat(jnp.repeat(x, 4, 1), 4, 2) * 0.5 + 0.5, 0, 1)
+
+    x0 = jnp.zeros((B, h, h, 3))
+    gt = jax.random.randint(jax.random.PRNGKey(7), (B, H, H), 0, C)
+    out = jax.jit(
+        lambda inp, g, k: sample_with_sgg(
+            diff_fn, sched, linear_seg_fn, counting_sr, inp, g, k,
+            lam=4.0, num_steps=6, num_classes=C, mode="fixed", start_t=3,
+            guidance_style="gsg", guidance_space="latent",
+        )
+    )(x0, gt, jax.random.PRNGKey(8))
+    assert out.shape == (B, H, H, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # latent mode: sr_fn traced ONLY for the final upscale, never in the body
+    assert sum(calls) == 1, calls
+
+    # and the guidance actually does something at lam>0
+    out0 = jax.jit(
+        lambda inp, g, k: sample_with_sgg(
+            diff_fn, sched, linear_seg_fn, counting_sr, inp, g, k,
+            lam=0.0, num_steps=6, num_classes=C, mode="fixed", start_t=3,
+            guidance_style="gsg", guidance_space="latent",
+        )
+    )(x0, gt, jax.random.PRNGKey(8))
+    assert np.abs(np.asarray(out) - np.asarray(out0)).max() > 1e-6
+
+
+def test_guidance_space_latent_lcg_alternate():
+    """The alternate (even->LCG) schedule also runs in latent space: class
+    masks and CE labels are nearest-downsampled train-ids."""
+    sched = linear_schedule(6)
+    diff_fn = lambda xt, t: jnp.zeros_like(xt)
+    sr_fn = lambda x: jnp.repeat(jnp.repeat(x, 4, 1), 4, 2)
+    x0 = jnp.zeros((B, h, h, 3))
+    gt = jax.random.randint(jax.random.PRNGKey(7), (B, H, H), 0, C)
+    out = jax.jit(
+        lambda inp, g, k: sample_with_sgg(
+            diff_fn, sched, linear_seg_fn, sr_fn, inp, g, k,
+            lam=4.0, num_steps=6, num_classes=C, mode="fixed", start_t=3,
+            guidance_style="alternate", guidance_space="latent",
+        )
+    )(x0, gt, jax.random.PRNGKey(8))
+    assert out.shape == (B, H, H, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_sample_with_sgg_segmented_chain_bit_identical():
     """Segmenting the reverse chain into multiple jitted calls (xt_init /
     t_offset / final_sr — how bench.py measures the full-length alternate

@@ -77,6 +77,7 @@ def sample_with_sgg(
     normalize_seg_input: bool = False,
     guidance_every: int = 1,
     guidance_style: str = "alternate",
+    guidance_space: str = "sr",
     spatial_mesh=None,
     xt_init: Optional[jax.Array] = None,
     t_offset: Optional[jax.Array] = None,
@@ -86,12 +87,24 @@ def sample_with_sgg(
     (reference: translation.py:95 final SRGAN pass).
 
     `guidance_every=k` applies guidance only every k-th step (k=1 matches the
-    reference's every-step schedule) — a throughput knob: the seg fwd+bwd at
-    512px dominates the per-step cost.
+    reference's every-step schedule) — a throughput knob: the whole guidance
+    half of the step (SRGAN upscale + seg fwd+bwd) runs inside the branch,
+    so skipped steps cost only the UNet + posterior. Callers preserving the
+    reference's TOTAL guidance dose should rescale lam by k (the guidance
+    term is lam * sigma_t * ||grad|| per fired step); quality parity of the
+    rescaled schedule is adjudicated by scripts/headline_parity_gate.py.
 
     `guidance_style`: 'alternate' = the reference's even->LCG / odd->GSG
     schedule (translation.py:84-87); 'gsg' / 'lcg' = that operator every
     guided step; 'none' = plain ancestral chain.
+
+    `guidance_space`: 'sr' (reference semantics, translation.py:81) feeds the
+    seg model the SRGAN-upscaled latent and avg-pools the gradient back down
+    (sgg.py:18); 'latent' skips the per-step SRGAN entirely and differentiates
+    the seg CE directly at latent resolution on (x_t+1)/2 (the SRGAN output
+    range, srgan models.py:91) — the gradient field needs no pooling. A
+    throughput lever (the SRGAN fwd + HR seg fwd/bwd are most of the guidance
+    cost); output parity vs 'sr' is adjudicated by the same gate.
 
     `xt_init` / `t_offset` / `final_sr` segment the reverse chain into
     multiple jitted calls with BIT-IDENTICAL semantics: with `final_sr=False`
@@ -116,6 +129,23 @@ def sample_with_sgg(
     if normalize_seg_input:
         raw_seg_fn = seg_fn
         seg_fn = lambda x: raw_seg_fn(normalize(x, IMAGENET_MEAN, IMAGENET_STD))
+
+    if guidance_space not in ("sr", "latent"):
+        raise ValueError(f"unknown guidance_space {guidance_space!r}")
+    guide_latent = guidance_space == "latent"
+    if guide_latent:
+        # class masks / CE labels at latent resolution: exact nearest for the
+        # integer HR/latent ratio (the gt plane is HR-sized train-ids)
+        pool = gt.shape[1] // input_128.shape[1]
+        gt_guide = gt[:, ::pool, ::pool] if pool > 1 else gt
+        # first-order dose matching: the per-image CE is a MEAN over pixels,
+        # so its per-pixel gradient scales as 1/N_pixels — pool^2 larger at
+        # latent resolution than the sr path's avg-pooled HR field. Rescale
+        # so `lam` means the same total guidance dose in both spaces (the
+        # parity gate measures the residual difference).
+        lam = lam / float(pool * pool)
+    else:
+        gt_guide = gt
 
     if xt_init is not None:
         # segment continuation: consume `key` exactly as the single-call scan
@@ -143,23 +173,36 @@ def sample_with_sgg(
         sigma = _bcast(posterior_sigma(sched, i, "posterior"), xt)
         z = jax.random.normal(zkey, xt.shape, dtype=xt.dtype)
 
-        sr_xt = sr_fn(xt)
-        if spatial_mesh is not None:
-            from weatherconverter_tpu.parallel.spatial import constrain_spatial
-
-            sr_xt = constrain_spatial(sr_xt, spatial_mesh)
-
         do_guide = (i != 0) & (jnp.mod(i, guidance_every) == 0)
+
+        def guide_input():
+            """The image the seg CE differentiates: the SRGAN upscale
+            (reference semantics) or the latent mapped to the SRGAN output
+            range. Lives INSIDE the guided branch so skipped steps
+            (guidance_every > 1) pay neither the SRGAN nor the seg grad."""
+            if guide_latent:
+                return (xt + 1.0) * 0.5
+            sr_xt = sr_fn(xt)
+            if spatial_mesh is not None:
+                from weatherconverter_tpu.parallel.spatial import (
+                    constrain_spatial,
+                )
+
+                sr_xt = constrain_spatial(sr_xt, spatial_mesh)
+            return sr_xt
 
         def lcg(_):
             return apply_lcg(
-                seg_fn, mu, sigma, sr_xt, gt, lam,
+                seg_fn, mu, sigma, guide_input(), gt_guide, lam,
                 num_classes=num_classes, noise=z, mode=mode,
                 class_chunk=lcg_class_chunk,
             )
 
         def gsg(_):
-            return apply_gsg(seg_fn, mu, sigma, sr_xt, gt, lam, noise=z, mode=mode)
+            return apply_gsg(
+                seg_fn, mu, sigma, guide_input(), gt_guide, lam, noise=z,
+                mode=mode,
+            )
 
         def guided(_):
             if guidance_style == "alternate":
