@@ -772,6 +772,73 @@ def convert_backbone(sd: Mapping[str, Any], model_name: str) -> tuple[dict, dict
     return params["backbone"], stats["backbone"]
 
 
+def resolve_backbone_checkpoint(spec: str, model_name: str) -> str:
+    """Fetch-by-name convenience for pretrained backbones, offline.
+
+    The reference downloads ImageNet weights by name from torch.hub
+    (resnet.py:14-24 model_urls, mobilenetv2/hrnetv2/xception equivalents);
+    this environment has no egress, so `pretrained_backbone` accepts either
+    a direct .pth path (returned as-is) or the name token 'imagenet' /
+    'auto', which resolves the torchvision/HRNet checkpoint FILE for the
+    model's backbone from the standard local caches, in order:
+
+        $WCTPU_PRETRAINED_DIR, $TORCH_HOME/hub/checkpoints,
+        ~/.cache/torch/hub/checkpoints, ./pretrained
+
+    Matching is by canonical filename prefix (e.g. resnet101-*.pth — the
+    torch.hub cache layout), so any torch-hub-downloaded checkpoint is found
+    without hardcoding content hashes."""
+    import glob
+    import os
+
+    if spec not in ("auto", "imagenet", "hub"):
+        if not os.path.exists(spec):
+            raise FileNotFoundError(
+                f"pretrained_backbone {spec!r} is neither an existing file "
+                "nor the token 'imagenet'/'auto'"
+            )
+        return spec
+
+    backbone = model_name
+    for arch in ("deeplabv3plus_", "deeplabv3_"):
+        if model_name.startswith(arch):
+            backbone = model_name[len(arch):]
+            break
+    # canonical public checkpoint filename prefixes (torch.hub cache names)
+    if backbone.startswith("mobilenet"):
+        patterns = ["mobilenet_v2-*.pth", "mobilenet_v2*.pth"]
+    elif backbone.startswith("hrnetv2_"):
+        w = backbone.split("_")[-1]
+        patterns = [f"hrnetv2_w{w}*.pth", f"hrnet_w{w}*.pth",
+                    f"*hrnetv2_w{w}*.pth"]
+    elif backbone == "xception":
+        patterns = ["xception-*.pth", "xception*.pth"]
+    else:  # resnet / resnext / wide_resnet families share the layout
+        patterns = [f"{backbone}-*.pth", f"{backbone}.pth"]
+
+    search = [
+        os.environ.get("WCTPU_PRETRAINED_DIR", ""),
+        os.path.join(os.environ.get("TORCH_HOME", ""), "hub", "checkpoints")
+        if os.environ.get("TORCH_HOME") else "",
+        os.path.expanduser("~/.cache/torch/hub/checkpoints"),
+        "pretrained",
+    ]
+    tried = []
+    for d in search:
+        if not d or not os.path.isdir(d):
+            continue
+        for pat in patterns:
+            hits = sorted(glob.glob(os.path.join(d, pat)))
+            if hits:
+                return hits[0]
+        tried.append(d)
+    raise FileNotFoundError(
+        f"no cached ImageNet checkpoint for backbone {backbone!r} "
+        f"(patterns {patterns}) in {tried or search}; download one with "
+        "torch.hub on a connected machine or set WCTPU_PRETRAINED_DIR"
+    )
+
+
 def load_pretrained_backbone(variables: dict, sd: Mapping[str, Any], model_name: str) -> dict:
     """Replace the backbone subtree of freshly-initialized seg `variables`
     with weights imported from a classification checkpoint — the TPU-native

@@ -232,9 +232,11 @@ class SegModelConfig(BaseModel):
     path: str = ""
     name: str = "deeplabv3plus_resnet101"
     num_classes: int = 19
-    # classification-checkpoint .pth for ImageNet backbone init — the
-    # reference's pretrained_backbone=True (modeling.py:128-222) with the
-    # torch.hub download replaced by an explicit local path (no egress here)
+    # ImageNet backbone init — the reference's pretrained_backbone=True
+    # (modeling.py:128-222): either an explicit classification-checkpoint
+    # .pth path, or 'imagenet'/'auto' to resolve the torch.hub-cached file
+    # by backbone name (compat.torch_import.resolve_backbone_checkpoint;
+    # no egress here, so the download itself happens on a connected machine)
     pretrained_backbone: str = ""
     output_stride: int = 16
     bn_momentum: float = 0.01

@@ -185,11 +185,16 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
         from weatherconverter_tpu.compat.torch_import import (
             load_pretrained_backbone,
             load_torch_checkpoint,
+            resolve_backbone_checkpoint,
         )
 
+        # a .pth path, or 'imagenet'/'auto' to resolve the torch.hub-cached
+        # checkpoint by name (the reference's pretrained=True story, offline)
+        ckpt_path = resolve_backbone_checkpoint(
+            cfg.model.pretrained_backbone, cfg.model.name
+        )
         variables = load_pretrained_backbone(
-            variables, load_torch_checkpoint(cfg.model.pretrained_backbone),
-            cfg.model.name,
+            variables, load_torch_checkpoint(ckpt_path), cfg.model.name,
         )
         variables = jax.tree.map(jnp.asarray, variables)
     tx = make_seg_optimizer(
