@@ -8,10 +8,22 @@ per-step guided cost of the reference's GSG steps (translation.py:74-87) —
 for N reverse steps, all inside one jitted lax.scan.
 
 WORKLOAD HONESTY (VERDICT r1 item 2): the headline `translate` mode measures
-the GSG-every-step schedule. The reference's alternate schedule runs LCG
+the GSG schedule. The reference's alternate schedule runs LCG
 (19 class-masked seg fwd+bwd) on even steps (translation.py:84-87) — that is
 19x the seg work by construction; `--mode translate-alternate` measures it
 and is reported alongside, never silently substituted.
+
+HEADLINE SCHEDULE (VERDICT r2 item 1): the north-star is ">=20 guided 256px
+1000-step translations/min/chip at FID and mIoU-consistency parity" — parity
+of OUTPUT QUALITY, not of schedule. The default headline therefore runs the
+fastest guidance variant that PASSED the 2-sigma FID+mIoU parity gate vs the
+reference-exact schedule (scripts/headline_parity_gate.py, artifact
+outputs/headline_parity_r05.json: all |z| <= 0.72): guidance every 2nd step
+with lam rescaled x2 (dose-preserving) + seg CE differentiated at latent
+resolution (no per-step SRGAN). `--reference-exact` restores the reference's
+every-step SR-space schedule; BOTH numbers are reported in PROFILE.md
+(32.84 vs 19.41 tr/min on the real chip). The parity-mode default applies to
+`translate` only — the alternate/ddim/dpm modes keep exact semantics.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -131,17 +143,23 @@ def parse_args():
                    help="seconds before one init probe counts as hung")
     p.add_argument("--init-backoff", type=float, default=30.0,
                    help="base seconds between probes (linear backoff)")
-    p.add_argument("--guidance-every", type=int, default=1,
-                   help="translate modes: apply guidance every k-th step "
-                        "with lam rescaled by k to preserve the total "
-                        "guidance dose (parity adjudicated by "
-                        "scripts/headline_parity_gate.py)")
-    p.add_argument("--guidance-space", default="sr", choices=["sr", "latent"],
-                   help="translate modes: 'sr' = reference semantics (seg "
-                        "CE on the SRGAN upscale, translation.py:81); "
-                        "'latent' = seg CE directly at latent resolution, "
-                        "skipping the per-step SRGAN (parity adjudicated by "
-                        "the same gate)")
+    p.add_argument("--guidance-every", type=int, default=None,
+                   help="apply guidance every k-th step with lam rescaled "
+                        "by k to preserve the total guidance dose (parity "
+                        "adjudicated by scripts/headline_parity_gate.py). "
+                        "Default: 2 for the headline `translate` mode "
+                        "(gate-passed), 1 elsewhere")
+    p.add_argument("--guidance-space", default=None, choices=["sr", "latent"],
+                   help="'sr' = reference semantics (seg CE on the SRGAN "
+                        "upscale, translation.py:81); 'latent' = seg CE "
+                        "directly at latent resolution, skipping the "
+                        "per-step SRGAN (parity adjudicated by the same "
+                        "gate). Default: latent for the headline "
+                        "`translate` mode (gate-passed), sr elsewhere")
+    p.add_argument("--reference-exact", action="store_true",
+                   help="headline translate mode: force the reference-exact "
+                        "schedule (guidance every step, SR space) instead "
+                        "of the gate-passed parity-mode default")
     p.add_argument("--no-int8-attn", action="store_true",
                    help="disable the int8-QK^T flash-attention inference path "
                         "(default ON for the forward-only translate/sample "
@@ -367,9 +385,21 @@ def _run(args):
 
     # guidance-dose-preserving throughput levers (VERDICT r2 item 1):
     # lam scales with guidance_every so the summed lam*sigma_t*||grad||
-    # over the chain matches the every-step schedule
-    g_every = max(1, args.guidance_every)
-    g_space = args.guidance_space
+    # over the chain matches the every-step schedule. The headline mode
+    # defaults to the fastest gate-passed variant (gevery2 + latent-space
+    # guidance, outputs/headline_parity_r05.json); --reference-exact or the
+    # explicit flags override. Other modes default to exact semantics.
+    # parity-mode default only at the north-star shape (sr=2): the gate
+    # artifact adjudicated pool=2 latent guidance, not the 4x reference shape
+    headline = (args.mode == "translate" and not args.reference_exact
+                and sr_factor == 2)
+    g_every = args.guidance_every if args.guidance_every is not None else (
+        2 if headline else 1)
+    g_space = args.guidance_space if args.guidance_space is not None else (
+        "latent" if headline else "sr")
+    if args.reference_exact:
+        g_every, g_space = 1, "sr"
+    g_every = max(1, g_every)
     lam_eff = 60.0 * g_every
     variant = dict(guidance_every=g_every, guidance_space=g_space)
     var_tag = ""
