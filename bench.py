@@ -418,7 +418,12 @@ def _run(args):
     # guidance/translate.py xt_init/t_offset) — the timed window covers all
     # `steps` real steps INCLUDING the inter-call dispatch overhead.
     SEG = 100
-    segmented = style == "alternate" and not args.quick and bench_steps >= 2 * SEG
+    # segment whenever one call would run past the backend's kill window:
+    # the full-length alternate chain (~76 s), and ANY full-length chain at
+    # sr>2 (512px guidance is ~4x the 256px per-step cost → ~100 s single-call,
+    # which is what timed out the first --sr 4 attempt, rc=124)
+    segmented = (not args.quick and bench_steps >= 2 * SEG
+                 and (style == "alternate" or sr_factor > 2))
 
     if segmented:
         # first segment absorbs the remainder so EVERY step is executed for

@@ -225,12 +225,17 @@ def test_guidance_space_latent_lcg_alternate():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-def test_sample_with_sgg_segmented_chain_bit_identical():
+import pytest
+
+
+@pytest.mark.parametrize("style", ["alternate", "gsg"])
+def test_sample_with_sgg_segmented_chain_bit_identical(style):
     """Segmenting the reverse chain into multiple jitted calls (xt_init /
     t_offset / final_sr — how bench.py measures the full-length alternate
-    schedule under the backend's ~60 s single-execution bound) reproduces the
-    single-call output BIT-FOR-BIT: a continuation consumes the carried key
-    exactly as the uninterrupted scan would."""
+    schedule AND the sr>2 gsg headline under the backend's ~60 s
+    single-execution bound) reproduces the single-call output BIT-FOR-BIT: a
+    continuation consumes the carried key exactly as the uninterrupted scan
+    would."""
     sched = linear_schedule(6)
     diff_fn = lambda xt, t: jnp.zeros_like(xt)
     sr_fn = lambda x: jnp.clip(jnp.repeat(jnp.repeat(x, 4, 1), 4, 2) * 0.5 + 0.5, 0, 1)
@@ -238,7 +243,7 @@ def test_sample_with_sgg_segmented_chain_bit_identical():
     x0 = jnp.linspace(-1, 1, B * h * h * 3).reshape(B, h, h, 3).astype(jnp.float32)
     gt = jax.random.randint(jax.random.PRNGKey(7), (B, H, H), 0, C)
     key = jax.random.PRNGKey(8)
-    kw = dict(lam=1.0, num_classes=C, mode="fixed", guidance_style="alternate")
+    kw = dict(lam=1.0, num_classes=C, mode="fixed", guidance_style=style)
 
     single = sample_with_sgg(
         diff_fn, sched, seg_fn, sr_fn, x0, gt, key,
