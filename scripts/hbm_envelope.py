@@ -45,19 +45,22 @@ from weatherconverter_tpu.models.factory import make_seg_model
 from weatherconverter_tpu.models.srgan import Generator
 from weatherconverter_tpu.models.unet import Unet
 
-CONFIGS = [("headline_256px", 2, 8), ("reference_512px", 4, 8),
-           ("reference_512px_b1", 4, 1), ("hires_1024px_b1", 8, 1)]
+# (label, latent_px, sr, batch). The SRGAN family has no true 8x (the
+# reference's own upscale_factor//2 formula — srgan_model/models.py:83 —
+# gives 2x/4x/16x), so the 1024px-guidance row scales the LATENT to 256px
+# and keeps the reference's real 4x SR.
+CONFIGS = [("headline_256px", 128, 2, 8), ("reference_512px", 128, 4, 8),
+           ("reference_512px_b1", 128, 4, 1), ("hires_1024px_b1", 256, 4, 1)]
 
 argv = [a for a in sys.argv[1:] if not a.startswith("--config")]
 K = int(argv[0]) if argv else 8
-H = 128
 
 if "--config" not in " ".join(sys.argv):
     # parent: one subprocess per config so each row gets a fresh peak counter
     import subprocess
 
     rows = []
-    for label, _, _ in CONFIGS:
+    for label, _, _, _ in CONFIGS:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), str(K),
              f"--config={label}"],
@@ -85,15 +88,16 @@ dtype = jnp.bfloat16 if on_tpu else jnp.float32
 unet = Unet(config=UnetModelConfig(), fused=on_tpu, dtype=dtype)
 sched = linear_schedule(1000)
 uparams = jax.jit(unet.init)(
-    jax.random.PRNGKey(0), jnp.zeros((1, H, H, 3)), jnp.zeros((1,), jnp.int32)
+    jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), jnp.zeros((1,), jnp.int32)
 )["params"]
 
 rows = []
-for label, SR, B in CONFIGS:
+for label, H, SR, B in CONFIGS:
     if label != ONLY:
         continue
     HR = H * SR
-    row = {"label": label, "sr": SR, "batch": B, "hr_px": HR, "steps": K}
+    row = {"label": label, "latent_px": H, "sr": SR, "batch": B,
+           "hr_px": HR, "steps": K}
     try:
         seg = make_seg_model("deeplabv3plus_resnet101", num_classes=19,
                              train=False, dtype=dtype)
@@ -115,15 +119,38 @@ for label, SR, B in CONFIGS:
                 mode="fixed", start_t=K - 1, guidance_style="gsg",
             )
 
-        out = jax.jit(run)(uparams, seg_vars, gvars, gt, jax.random.PRNGKey(9))
+        # Compile first and record XLA's buffer plan: the tunneled axon
+        # backend returns all-zero live memory_stats(), so the compile-time
+        # memory analysis (argument/output/temp bytes of the compiled
+        # program) IS the envelope of record; live counters are kept only
+        # when the backend actually reports them.
+        compiled = jax.jit(run).lower(
+            uparams, seg_vars, gvars, gt, jax.random.PRNGKey(9)
+        ).compile()
+        try:
+            ma = compiled.memory_analysis()
+            arg_b = int(getattr(ma, "argument_size_in_bytes", 0))
+            out_b = int(getattr(ma, "output_size_in_bytes", 0))
+            tmp_b = int(getattr(ma, "temp_size_in_bytes", 0))
+            alias_b = int(getattr(ma, "alias_size_in_bytes", 0))
+            row.update(
+                plan_args_gib=round(arg_b / 2**30, 3),
+                plan_output_gib=round(out_b / 2**30, 3),
+                plan_temp_gib=round(tmp_b / 2**30, 3),
+                plan_total_gib=round((arg_b + out_b + tmp_b - alias_b) / 2**30, 3),
+            )
+        except Exception as e:  # noqa: BLE001 — analysis support varies
+            row.update(plan_detail=f"memory_analysis unavailable: {e}"[-200:])
+        out = compiled(uparams, seg_vars, gvars, gt, jax.random.PRNGKey(9))
         float(jnp.sum(out.astype(jnp.float32)))  # force (scalar readback)
         stats = device_memory_stats()
-        row.update(
-            peak_hbm_gib=round(stats.get("peak_bytes_in_use", 0) / 2**30, 3),
-            live_hbm_gib=round(stats.get("bytes_in_use", 0) / 2**30, 3),
-            hbm_limit_gib=round(stats.get("bytes_limit", 0) / 2**30, 3),
-            status="ok",
-        )
+        if stats.get("peak_bytes_in_use", 0):
+            row.update(
+                peak_hbm_gib=round(stats.get("peak_bytes_in_use", 0) / 2**30, 3),
+                live_hbm_gib=round(stats.get("bytes_in_use", 0) / 2**30, 3),
+                hbm_limit_gib=round(stats.get("bytes_limit", 0) / 2**30, 3),
+            )
+        row.update(status="ok")
     except Exception as e:  # noqa: BLE001 — OOM rows are a RESULT here
         msg = f"{type(e).__name__}: {e}"
         row.update(status="oom" if "RESOURCE_EXHAUSTED" in msg

@@ -161,7 +161,10 @@ def main():
         ("lam0", 1, "sr", 0.0),            # guidance-off anchor for the guard
         ("gevery2", 2, "sr", 120.0),       # dose-preserving skip
         ("glatent", 1, "latent", 60.0),    # latent-resolution guidance
-        ("both", 2, "latent", 120.0),      # composed
+        ("both", 2, "latent", 120.0),      # composed (the shipped headline)
+        ("gevery4", 4, "latent", 240.0),   # sparser composed candidates: the
+        ("gevery8", 8, "latent", 480.0),   # gate decides how far dose-
+                                           # preserving skipping stretches
     ]
     report = run_candidates(models, args.n_eval, 50, args.seeds, candidates)
     verdicts = adjudicate(report)
