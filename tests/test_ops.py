@@ -89,6 +89,23 @@ def test_flash_attention_grad_matches(rng):
     np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
 
 
+def test_pick_blocks_respects_scoped_vmem_budget():
+    """Block picks must keep the tuned optimum at the production shapes
+    (bq=512 fwd / 128 bwd at N<=4096, D=64) and SHRINK at larger N so the
+    (bq, N) score tiles fit Mosaic's 16 MiB scoped-VMEM limit — at N=16384
+    (256px latents, the hbm_envelope hires row) bq=512 implies a 32 MiB f32
+    tile and crashes the server-side Mosaic compiler."""
+    for n in (1024, 2048, 4096):
+        assert A._pick_blocks(n, 64) == (512, 512), n
+        assert A._pick_bwd_block(n, 64) == 128, n
+    for n in (8192, 16384):
+        bq, bk = A._pick_blocks(n, 64)
+        assert bq == bk and n % bq == 0
+        assert bq * n * 6 + 4 * n * 64 <= 14 * 2**20, (n, bq)
+        bw = A._pick_bwd_block(n, 64)
+        assert n % bw == 0 and bw <= 128
+
+
 def test_multi_head_attention_dispatch(rng):
     q = jax.random.normal(rng, (1, 2, 100, 8))  # 100 not divisible by 8 -> fallback
     out = A.multi_head_attention(q, q, q)

@@ -323,25 +323,38 @@ def _flash_attention_bwd_impl(q, k, v, o, do, *, block_q: int, interpret: bool):
     return un(dq), un(dk).astype(k.dtype), un(dv).astype(v.dtype)
 
 
-def _pick_blocks(n: int) -> tuple[int, int]:
+def _pick_blocks(n: int, d: int = 64) -> tuple[int, int]:
     """block_q capped at 512: the (block_q, N) f32 score tile must fit VMEM
     alongside full K/V (512 x 4096 x 4 = 8 MiB + bf16 probs 4 MiB + K/V
     ~2 MiB at the UNet's largest map, D=64). Measured on v5e: bq=512 shaves
-    ~3% off the N=4096 layer vs bq=256 (fewer grid programs, same traffic)."""
+    ~3% off the N=4096 layer vs bq=256 (fewer grid programs, same traffic).
+
+    The cap also SHRINKS with N so the tiles always fit Mosaic's 16 MiB
+    scoped-VMEM limit: score f32 + probs bf16 are 6 bytes/element, K/V
+    bf16 another 4*n*d, so bq*n*6 + 4*n*d <= 14 MiB (2 MiB headroom for
+    q/out blocks and spills). At N=4096 this leaves bq=512 (the tuned
+    optimum, 13 MiB) untouched; at N=16384 (256px latents — the
+    hbm_envelope hires row) bq=512 would need a 32 MiB f32 tile and
+    crashes the server-side Mosaic compiler, so the budget picks 64."""
+    budget = 14 * 2**20 - 4 * n * d
     for b in (512, 256, 128, 64, 32, 16, 8):
-        if n % b == 0 and b <= n:
+        if n % b == 0 and b <= n and b * n * 6 <= budget:
             return b, b
     return n, n
 
 
-def _pick_bwd_block(n: int) -> int:
+def _pick_bwd_block(n: int, d: int = 64) -> int:
     """The backward holds ~3 (block_q, N) f32 tiles live (scores, dpn, ds):
     cap block_q at 128 so 3 x 128 x 4096 x 4 = 6 MiB fits VMEM with K/V and
-    the f32 dK/dV accumulators."""
+    the f32 dK/dV accumulators. Like _pick_blocks, the cap shrinks with N
+    against the 16 MiB scoped-VMEM limit (fixed cost: K/V bf16 + dK/dV f32
+    accumulators = 12*n*d bytes; tiles 12*bq*n). Past N~16K even bq=8
+    cannot fit — that regime is what parallel/spatial.py shards."""
+    budget = 14 * 2**20 - 12 * n * d
     for b in (128, 64, 32, 16, 8):
-        if n % b == 0 and b <= n:
+        if n % b == 0 and b <= n and 12 * b * n <= budget:
             return b
-    return n
+    return min(8, n) if n % 8 == 0 else n
 
 
 def _on_tpu() -> bool:
@@ -353,7 +366,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Blockwise attention, Pallas on TPU, interpret-mode elsewhere.
     Forward AND backward keep the (N, N) scores on-chip (custom_vjp below)."""
     n = q.shape[2]
-    bq, bk = _pick_blocks(n)
+    bq, bk = _pick_blocks(n, q.shape[3])
     return _flash_attention_fwd_impl(
         q, k, v, block_q=bq, block_k=bk, interpret=not _on_tpu()
     )
@@ -368,7 +381,7 @@ def _fa_bwd(res, g):
     q, k, v, o = res
     return _flash_attention_bwd_impl(
         q, k, v, o, g.astype(q.dtype),
-        block_q=_pick_bwd_block(q.shape[2]), interpret=not _on_tpu(),
+        block_q=_pick_bwd_block(q.shape[2], q.shape[3]), interpret=not _on_tpu(),
     )
 
 
@@ -400,7 +413,7 @@ def multi_head_attention(
         # forward-only path (sampling/translation); training keeps bf16.
         # block_q swept in situ for the i8 kernel specifically (PROFILE.md
         # r4): 512 (the bf16 optimum) stands; WCTPU_ATTN_I8_BQ for A/B.
-        bq, _ = _pick_blocks(n)
+        bq, _ = _pick_blocks(n, d)
         bq_env = os.environ.get("WCTPU_ATTN_I8_BQ")
         if bq_env and n % int(bq_env) == 0:
             bq = int(bq_env)
