@@ -209,6 +209,53 @@ def test_cli_export_hlo(tmp_path):
     assert rc == 0 and "stablehlo" in out2.read_text()
 
 
+def test_cli_translate_debug_dir_dumps_and_matches_plain(tiny_cfg, tmp_path):
+    """--debug-dir dumps the reference's debug_tensor set (translation.py:
+    17-39,58-92: input/gt/noised xt/xt snapshots/final SR + pred) AND the
+    final image is bit-identical to the plain un-segmented run with the same
+    seed — the dumps ride the chain-segmentation contract, they must not
+    perturb the trajectory."""
+    rng = np.random.RandomState(1)
+    img = tmp_path / "in.png"
+    Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(img)
+    lbl = tmp_path / "gt.png"
+    Image.fromarray(rng.randint(0, 34, (40, 40), dtype=np.uint8)).save(lbl)
+    out_plain = tmp_path / "plain.png"
+    out_dbg = tmp_path / "dbg.png"
+    dbg = tmp_path / "debug"
+    base = [
+        "translate", "--config", tiny_cfg, "--image", str(img),
+        "--label", str(lbl), "--steps", "5", "--seed", "3",
+    ]
+    assert main(base + ["--out", str(out_plain)]) == 0
+    rc = main(base + [
+        "--out", str(out_dbg), "--debug-dir", str(dbg), "--debug-every", "2",
+    ])
+    assert rc == 0
+    for name in (
+        "input.png", "gt.png", "xt_5_noised.png", "xt_4.png", "xt_2.png",
+        "xt_0.png", "sr_x0.png", "sr_x0_pred.png",
+    ):
+        assert (dbg / name).exists(), name
+    a = np.asarray(Image.open(out_plain))
+    b = np.asarray(Image.open(out_dbg))
+    assert (a == b).all()
+
+
+def test_cli_translate_debug_dir_refuses_fast_samplers(tiny_cfg, tmp_path):
+    rng = np.random.RandomState(0)
+    img, lbl = tmp_path / "in.png", tmp_path / "lbl.png"
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(img)
+    Image.fromarray(rng.randint(0, 5, (32, 32), dtype=np.uint8)).save(lbl)
+    with pytest.raises(SystemExit, match="segment"):
+        main([
+            "translate", "--config", tiny_cfg, "--image", str(img),
+            "--label", str(lbl), "--sampler", "ddim", "--steps", "2",
+            "--debug-dir", str(tmp_path / "d"),
+            "--out", str(tmp_path / "o.png"),
+        ])
+
+
 def test_cli_translate_fast_sampler_refuses_reference_mode(tmp_path):
     """--sampler ddim/dpm + --mode reference would silently produce unguided
     output; the CLI must refuse like serving does (ADVICE r2)."""

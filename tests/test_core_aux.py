@@ -164,3 +164,39 @@ def test_restore_auto_tuple_target_with_added_field(tmp_path):
     assert int(gs.step) == 11  # the exact access that used to crash
     assert float(gs.params["w"][0]) == 1.0 and float(ds.params["v"][0]) == 2.0
     assert float(gs.extra[0]) == 9.0  # later-added field keeps its init
+
+
+def test_debug_tensor_image_label_and_npy_fallback(tmp_path, capsys):
+    """debug_tensor (reference translation.py:17-39 analog): [-1,1] float
+    images save clamped PNGs, integer label maps save COLORIZED (and print
+    unique values like the reference's gt branch), non-image shapes fall
+    back to .npy instead of crashing."""
+    from PIL import Image
+
+    from weatherconverter_tpu.utils.debug import debug_tensor
+
+    img = np.linspace(-2.0, 2.0, 2 * 8 * 8 * 3, dtype=np.float32).reshape(
+        2, 8, 8, 3
+    )
+    p = debug_tensor(img, str(tmp_path / "img.png"), "img")
+    assert p.endswith(".png") and os.path.exists(p)
+    arr = np.asarray(Image.open(p))
+    assert arr.min() >= 0 and arr.max() <= 255
+
+    lbl = np.full((8, 8), 255, dtype=np.uint8)
+    lbl[:4] = 0  # train-id 0 = road (128, 64, 128); 255 renders black
+    p = debug_tensor(lbl, str(tmp_path / "lbl.png"), "gt")
+    out = capsys.readouterr().out
+    assert "unique values" in out
+    arr = np.asarray(Image.open(p))
+    assert arr.shape[-1] == 3 and (arr == 128).any()
+
+    vec = np.arange(7, dtype=np.float32)
+    p = debug_tensor(vec, str(tmp_path / "vec.png"))
+    assert p.endswith(".npy") and np.allclose(np.load(p), vec)
+
+    # SRGAN-range output: from_range='unit' must not crush [0,1] into the
+    # upper half the pm1 mapping would
+    unit = np.zeros((4, 4, 3), dtype=np.float32)
+    p = debug_tensor(unit, str(tmp_path / "unit.png"), from_range="unit")
+    assert np.asarray(Image.open(p)).max() == 0

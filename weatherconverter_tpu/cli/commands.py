@@ -164,6 +164,82 @@ def _load_image(path, size):
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
+def _run_translate_debug(
+    args, cfg, unet, uparams, sched, seg, seg_vars, gen, gvars, img, gt, key
+) -> int:
+    """Chain-intermediate dumps — analog of the reference's debug_tensor
+    hooks (translation.py:17-39 and the commented per-step dumps at 58-92:
+    input / gt / noised xt / xt_{i} / final SR).
+
+    The reference prints from inside its Python sampling loop; our chain is
+    one jitted scan, so a per-step host callback would serialize the
+    pipeline. Instead the chain runs in `--debug-every`-step jitted segments
+    through the bit-identical continuation contract (xt_init/t_offset,
+    final_sr=False), dumping the carried latent between calls. The entry
+    (key split -> random t0 -> q_sample) is replicated host-side exactly as
+    sample_with_sgg's xt_init=None branch performs it, so the traced
+    trajectory is step-for-step identical to the plain `translate` call with
+    the same seed.
+    """
+    from functools import partial
+
+    from weatherconverter_tpu.diffusion.schedule import q_sample
+    from weatherconverter_tpu.guidance.translate import sample_with_sgg
+    from weatherconverter_tpu.utils.debug import debug_tensor
+    from weatherconverter_tpu.utils.images import save_images
+
+    d = args.debug_dir
+    steps = args.steps
+    every = max(1, args.debug_every)
+    x0_in = jnp.asarray(img)[None]
+    gt_b = jnp.asarray(gt)[None]
+
+    debug_tensor(x0_in, os.path.join(d, "input.png"), "input_tensor")
+    debug_tensor(np.asarray(gt_b), os.path.join(d, "gt.png"), "gt")
+
+    # entry replication: identical key consumption + q-sample to random t
+    # (translate.py xt_init=None branch; reference translation.py:61-65)
+    key, tkey, nkey = jax.random.split(key, 3)
+    t0 = jax.random.randint(tkey, (x0_in.shape[0],), 0, steps)
+    noise0 = jax.random.normal(nkey, x0_in.shape, dtype=x0_in.dtype)
+    xt = q_sample(sched, x0_in, noise0, t0)
+    debug_tensor(xt, os.path.join(d, f"xt_{steps}_noised.png"), "xt_noised")
+
+    @partial(jax.jit, static_argnames=("n",))
+    def seg_run(up, sv, gv, g_, xt_, off, k_, n):
+        dfn = lambda x, t: unet.apply({"params": up}, x, t)
+        sfn = lambda x: seg.apply(sv, x)
+        gfn = lambda x: gen.apply(gv, x)
+        return sample_with_sgg(
+            dfn, sched, sfn, gfn, xt_, g_, k_, lam=args.lam, num_steps=n,
+            num_classes=cfg.seg.model.num_classes, mode=args.mode,
+            xt_init=xt_, t_offset=off, final_sr=False,
+        )
+
+    prev = steps
+    for lo in range(((steps - 1) // every) * every, -1, -every):
+        xt, key = seg_run(
+            uparams, seg_vars, gvars, gt_b, xt, jnp.int32(lo), key,
+            n=prev - lo,
+        )
+        # reference convention: xt_{i}.png = latent after processing step i
+        debug_tensor(xt, os.path.join(d, f"xt_{lo}.png"), f"xt after step {lo}")
+        prev = lo
+
+    sr_out = jax.jit(gen.apply)(gvars, xt)
+    debug_tensor(
+        sr_out, os.path.join(d, "sr_x0.png"), "sr_x0", from_range="unit"
+    )
+    pred = np.asarray(
+        jnp.argmax(jax.jit(seg.apply)(seg_vars, sr_out), axis=-1)
+    ).astype(np.uint8)
+    debug_tensor(pred, os.path.join(d, "sr_x0_pred.png"), "seg pred of output")
+
+    save_images(sr_out, args.out, nrow=1, from_range="unit")
+    print(f"saved {args.out} (debug dumps in {d})")
+    return 0
+
+
 def run_translate(args) -> int:
     """End-to-end guided translation (reference: translation.py:100-164)."""
     from weatherconverter_tpu.core.config import load_translation_config
@@ -229,6 +305,18 @@ def run_translate(args) -> int:
     sampler = getattr(args, "sampler", "ddpm")
     if getattr(args, "steps", None) is None:
         args.steps = {"ddim": 50, "dpm": 20}.get(sampler, 500)
+    if getattr(args, "debug_dir", None):
+        if sampler != "ddpm":
+            raise SystemExit(
+                "--debug-dir traces the DDPM reverse chain via its "
+                "bit-identical segmentation (guidance/translate.py "
+                "xt_init/t_offset); the few-step ddim/dpm trajectories have "
+                "no segment continuation — use --sampler ddpm."
+            )
+        return _run_translate_debug(
+            args, cfg, unet, uparams, sched, seg, seg_vars, gen, gvars,
+            img, gt, k4,
+        )
     if sampler in ("ddim", "dpm"):
         from weatherconverter_tpu.guidance.translate import (
             sample_with_sgg_ddim,

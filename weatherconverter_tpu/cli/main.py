@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--no-int8-attn", action="store_true",
                     help="keep exact bf16 flash attention (default on TPU: "
                          "int8 QK^T, 2x MXU rate — PROFILE.md round 4)")
+    tr.add_argument("--debug-dir", default=None,
+                    help="dump per-chain intermediates (input/gt/noised xt/"
+                         "xt snapshots/final SR + seg pred) to this dir — "
+                         "analog of the reference's debug_tensor hooks "
+                         "(translation.py:17-39,58-92); ddpm sampler only")
+    tr.add_argument("--debug-every", type=int, default=100,
+                    help="snapshot cadence in reverse steps (chain runs in "
+                         "bit-identical jitted segments between dumps)")
 
     iv = sub.add_parser("infer-seg", help="segmentation inference + gradient probe")
     iv.add_argument("--config", default=None)
