@@ -27,6 +27,12 @@ Run:  python scripts/headline_parity_gate.py [--seeds 5] [--fast]
 Writes outputs/headline_parity_r05.json. The bench variant that ships as
 the headline must cite this artifact; candidates failing parity are
 reported but must NOT become the headline.
+
+`--style alternate` adjudicates the same latent-space lever on the
+reference's ALTERNATE schedule (even->LCG / odd->GSG, translation.py:84-87)
+and writes outputs/alternate_parity_r05.json; bench.py's
+`--mode translate-alternate --guidance-space latent` row cites that
+artifact. The alternate default stays reference-exact either way.
 """
 
 from __future__ import annotations
@@ -50,7 +56,8 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 from quality_gate import C, make_world_batch, tiny_train  # noqa: E402
 
 
-def run_candidates(models, n_eval, num_steps, n_seeds, candidates, log=print):
+def run_candidates(models, n_eval, num_steps, n_seeds, candidates, log=print,
+                   style="gsg"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -79,7 +86,7 @@ def run_candidates(models, n_eval, num_steps, n_seeds, candidates, log=print):
                 lambda im: seg.apply(sv, im),
                 lambda im: gen.apply(gv, im),
                 i_, g_, k_, lam=lam, num_steps=num_steps, num_classes=C,
-                mode="fixed", guidance_style="gsg", start_t=num_steps - 1,
+                mode="fixed", guidance_style=style, start_t=num_steps - 1,
                 guidance_every=every, guidance_space=space,
             )
         return translate
@@ -144,6 +151,14 @@ def main():
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--n-eval", type=int, default=16)
+    ap.add_argument("--style", default="gsg", choices=["gsg", "alternate"],
+                    help="which guidance schedule to adjudicate: 'gsg' (the "
+                         "bench.py headline) or 'alternate' (the reference's "
+                         "even->LCG/odd->GSG schedule, translation.py:84-87). "
+                         "For 'alternate' the only lever is guidance_space="
+                         "'latent' (guidance_every would skip entire LCG or "
+                         "GSG phases wholesale, changing the schedule's "
+                         "semantics, so it is not offered as a candidate)")
     args = ap.parse_args()
 
     import jax
@@ -156,23 +171,36 @@ def main():
         else dict(T=100, ddpm_steps=600, seg_steps=800, srgan_steps=500, batch=16)
     )
     models = tiny_train(budget)
-    candidates = [
-        ("exact", 1, "sr", 60.0),          # the schedule bench.py times today
-        ("lam0", 1, "sr", 0.0),            # guidance-off anchor for the guard
-        ("gevery2", 2, "sr", 120.0),       # dose-preserving skip
-        ("glatent", 1, "latent", 60.0),    # latent-resolution guidance
-        ("both", 2, "latent", 120.0),      # composed (the shipped headline)
-        ("gevery4", 4, "latent", 240.0),   # sparser composed candidates: the
-        ("gevery8", 8, "latent", 480.0),   # gate decides how far dose-
-                                           # preserving skipping stretches
-    ]
-    report = run_candidates(models, args.n_eval, 50, args.seeds, candidates)
+    if args.style == "gsg":
+        candidates = [
+            ("exact", 1, "sr", 60.0),      # the schedule bench.py times today
+            ("lam0", 1, "sr", 0.0),        # guidance-off anchor for the guard
+            ("gevery2", 2, "sr", 120.0),   # dose-preserving skip
+            ("glatent", 1, "latent", 60.0),  # latent-resolution guidance
+            ("both", 2, "latent", 120.0),  # composed (the shipped headline)
+            ("gevery4", 4, "latent", 240.0),  # sparser composed candidates:
+            ("gevery8", 8, "latent", 480.0),  # the gate decides how far dose-
+                                              # preserving skipping stretches
+        ]
+    else:  # alternate: even->LCG / odd->GSG, reference translation.py:84-87
+        candidates = [
+            ("exact", 1, "sr", 60.0),      # reference-exact alternate schedule
+            ("lam0", 1, "sr", 0.0),        # guidance-off anchor for the guard
+            ("glatent", 1, "latent", 60.0),  # latent-res LCG+GSG, no per-step
+                                             # SRGAN, 19 masked grads at latent
+                                             # instead of SR resolution
+        ]
+    report = run_candidates(models, args.n_eval, 50, args.seeds, candidates,
+                            style=args.style)
     verdicts = adjudicate(report)
 
     out = {
         "world": "quality_gate tiny-TRAINED world (structured 5-class)",
         "budget": budget, "translate_steps": 50, "n_seeds": args.seeds,
-        "headline_style": "gsg (the bench.py headline schedule)",
+        "headline_style": (
+            "gsg (the bench.py headline schedule)" if args.style == "gsg"
+            else "alternate (even->LCG / odd->GSG, the reference's "
+                 "translation.py:84-87 schedule)"),
         "settings": report,
         "verdicts": verdicts,
         "criterion": "parity iff |z_fid|<=2 and |z_miou|<=2 vs the exact "
@@ -180,7 +208,9 @@ def main():
                      "guard vs lam0",
     }
     os.makedirs(os.path.join(REPO, "outputs"), exist_ok=True)
-    path = os.path.join(REPO, "outputs", "headline_parity_r05.json")
+    fname = ("headline_parity_r05.json" if args.style == "gsg"
+             else "alternate_parity_r05.json")
+    path = os.path.join(REPO, "outputs", fname)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {path}")
