@@ -160,6 +160,21 @@ def parse_args():
                    help="headline translate mode: force the reference-exact "
                         "schedule (guidance every step, SR space) instead "
                         "of the gate-passed parity-mode default")
+    p.add_argument("--lcg-present-k", type=int, default=None,
+                   help="translate-alternate: pack LCG's 19-class sweep into "
+                        "K per-image slots holding the classes actually "
+                        "present in each gt (bit-exact when K covers them "
+                        "all — guidance/sgg.present_class_ids; truncation "
+                        "beyond K adjudicated by headline_parity_gate.py "
+                        "--style alternate). Default: full 19-class sweep")
+    p.add_argument("--scene-classes", type=int, default=None,
+                   help="draw each bench gt as a blocky scene over N "
+                        "distinct classes per image (urban scenes carry "
+                        "~8-14 of the 19 train classes) instead of the "
+                        "default uniform-random gt where all 19 classes "
+                        "appear in every image. Only the packed-LCG cost "
+                        "depends on gt content; the default stays "
+                        "uniform-random for comparability with prior rounds")
     p.add_argument("--no-int8-attn", action="store_true",
                    help="disable the int8-QK^T flash-attention inference path "
                         "(default ON for the forward-only translate/sample "
@@ -340,7 +355,22 @@ def _run(args):
     gen = Generator(upscale_factor=sr_factor, dtype=dtype)
     gvars = jax.jit(gen.init)(jax.random.PRNGKey(4), jnp.zeros((1, H, H, 3)))
 
-    gt = jax.random.randint(jax.random.PRNGKey(6), (B, HR, HR), 0, 19)
+    if args.scene_classes is not None:
+        # blocky per-image scenes over N distinct classes (8x8 block grid;
+        # with 64 blocks from N<=14 classes every palette class appears
+        # w.h.p., so --lcg-present-k N is the bit-exact packing for this gt)
+        n_sc = args.scene_classes
+        kg1, kg2 = jax.random.split(jax.random.PRNGKey(6))
+        palette = jax.vmap(lambda k: jax.random.permutation(k, 19)[:n_sc])(
+            jax.random.split(kg1, B)
+        )  # (B, n_sc) distinct ids per image
+        blocks = jax.random.randint(kg2, (B, 8, 8), 0, n_sc)
+        picks = jnp.take_along_axis(
+            palette, blocks.reshape(B, -1), axis=1
+        ).reshape(B, 8, 8)
+        gt = jnp.repeat(jnp.repeat(picks, HR // 8, 1), HR // 8, 2)
+    else:
+        gt = jax.random.randint(jax.random.PRNGKey(6), (B, HR, HR), 0, 19)
 
     if args.mode in ("translate-ddim", "translate-dpm"):
         # fast-serving extensions: full-quality-budget solver subsequences —
@@ -407,6 +437,11 @@ def _run(args):
         var_tag += f"_gevery{g_every}"
     if g_space != "sr":
         var_tag += f"_g{g_space}"
+    if args.lcg_present_k is not None:
+        variant["lcg_present_k"] = args.lcg_present_k
+        var_tag += f"_lcgk{args.lcg_present_k}"
+    if args.scene_classes is not None:
+        var_tag += f"_scene{args.scene_classes}"
 
     diff_fn_of = lambda up: (lambda xt, tt: unet.apply({"params": up}, xt, tt))
     seg_fn_of = lambda sv: (lambda img: seg.apply(sv, img))

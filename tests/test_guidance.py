@@ -503,3 +503,119 @@ def test_dpm_guided_translate_fast_path():
     b = np.asarray(src).ravel() - float(np.asarray(src).mean())
     corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert corr > 0.1, corr
+
+
+# ---------------------------------------------------------------------------
+# present-class packing (LCG throughput lever; guidance/sgg.present_class_ids)
+# ---------------------------------------------------------------------------
+
+
+def test_present_class_ids_topk_sorted_and_padded():
+    from weatherconverter_tpu.guidance.sgg import present_class_ids
+
+    gt = jnp.asarray(
+        [
+            # image 0: class 7 dominant, then 2, then 11; 255 must be ignored
+            [[7, 7, 7, 7], [7, 7, 2, 2], [2, 11, 255, 255], [255, 255, 255, 255]],
+            # image 1: only class 0
+            [[0, 0, 0, 0]] * 4,
+        ],
+        dtype=jnp.int32,
+    )
+    ids = present_class_ids(gt, k=4, num_classes=19)
+    np.testing.assert_array_equal(np.asarray(ids[0]), [2, 7, 11, -1])
+    np.testing.assert_array_equal(np.asarray(ids[1]), [0, -1, -1, -1])
+    # truncation keeps the largest-by-area classes (image 0: 7 then 2)
+    ids2 = present_class_ids(gt, k=2, num_classes=19)
+    np.testing.assert_array_equal(np.asarray(ids2[0]), [2, 7])
+    np.testing.assert_array_equal(np.asarray(ids2[1]), [0, -1])
+
+
+@pytest.mark.parametrize("mode", ["fixed", "reference"])
+def test_apply_lcg_present_class_packing_exact(mode):
+    """With K slots covering every present class, packed LCG is BIT-exact vs
+    the full class sweep: absent classes contribute exact +-0.0 to the
+    recombine (reference sgg.py:58) and ids are sorted ascending so the sum
+    order matches."""
+    from weatherconverter_tpu.guidance.sgg import present_class_ids
+
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, H, H, 3))
+    # two images with different small class sets (2 and 3 present classes)
+    gt0 = jnp.repeat(jnp.repeat(
+        jnp.asarray([[0, 3], [3, 0]], dtype=jnp.int32), H // 2, 0), H // 2, 1)
+    gt1 = jnp.repeat(jnp.repeat(
+        jnp.asarray([[1, 2], [2, 1]], dtype=jnp.int32), H // 2, 0), H // 2, 1)
+    gt = jnp.stack([gt0, gt1]).at[1, 0, 0].set(255)  # some ignore pixels
+    mu = jnp.zeros((b, h, h, 3))
+    sigma = jnp.full((b, 1, 1, 1), 0.5)
+    z = jax.random.normal(jax.random.PRNGKey(5), mu.shape)
+
+    kw = dict(lam=2.0, num_classes=C, noise=z, mode=mode)
+    full = apply_lcg(linear_seg_fn, mu, sigma, x, gt, **kw)
+    ids = present_class_ids(gt, k=3, num_classes=C)
+    packed = apply_lcg(linear_seg_fn, mu, sigma, x, gt, class_ids=ids, **kw)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(packed))
+    # chunk width over slots is still a pure perf knob
+    packed1 = apply_lcg(
+        linear_seg_fn, mu, sigma, x, gt, class_ids=ids, class_chunk=1, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(packed1), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_apply_lcg_present_k_truncation_falls_back_to_base():
+    """K smaller than the number of present classes drops the smallest
+    classes: their pixels are uncovered and take the unguided base update in
+    'fixed' mode (the quality consequence is what the parity gate
+    adjudicates)."""
+    from weatherconverter_tpu.guidance.sgg import present_class_ids
+
+    # class 0 covers 3/4 of the image, class 1 the rest
+    gt = jnp.where(
+        jnp.arange(H)[None, :, None] < H // 2, 0,
+        jnp.where(jnp.arange(H)[None, None, :] < H // 2, 0, 1),
+    ).astype(jnp.int32) * jnp.ones((B, 1, 1), dtype=jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, H, H, 3))
+    mu = jnp.zeros((B, h, h, 3))
+    sigma = jnp.full((B, 1, 1, 1), 0.5)
+    z = jnp.ones_like(mu) * 0.3
+
+    ids = present_class_ids(gt, k=1, num_classes=C)
+    np.testing.assert_array_equal(np.asarray(ids), [[0]])
+    out = apply_lcg(
+        linear_seg_fn, mu, sigma, x, gt, lam=2.0, num_classes=C,
+        noise=z, mode="fixed", class_ids=ids,
+    )
+    # the class-1 quadrant (bottom-right at latent res) is uncovered -> base
+    base = mu + sigma * z
+    np.testing.assert_allclose(
+        np.asarray(out[:, h // 2 :, h // 2 :]),
+        np.asarray(base[:, h // 2 :, h // 2 :]),
+        rtol=1e-6,
+    )
+    # the class-0 region is guided (differs from base)
+    assert not np.allclose(np.asarray(out[:, : h // 2]), np.asarray(base[:, : h // 2]))
+
+
+def test_sample_with_sgg_present_k_bit_identical_end_to_end():
+    """lcg_present_k with enough slots reproduces the full-sweep chain
+    bit-for-bit through the whole jitted scan (the packed alternate bench
+    row's exactness claim)."""
+    sched = linear_schedule(6)
+    diff_fn = lambda xt, t: jnp.zeros_like(xt)
+    sr_fn = lambda x: jnp.clip(jnp.repeat(jnp.repeat(x, 4, 1), 4, 2) * 0.5 + 0.5, 0, 1)
+    x0 = jnp.linspace(-1, 1, B * h * h * 3).reshape(B, h, h, 3).astype(jnp.float32)
+    gt = jnp.repeat(jnp.repeat(
+        jax.random.randint(jax.random.PRNGKey(7), (B, h, h), 0, 3), 4, 1), 4, 2)
+    key = jax.random.PRNGKey(8)
+    kw = dict(lam=1.0, num_steps=6, num_classes=C, mode="fixed",
+              guidance_style="alternate", start_t=5)
+
+    full = sample_with_sgg(diff_fn, sched, linear_seg_fn, sr_fn, x0, gt, key, **kw)
+    packed = sample_with_sgg(
+        diff_fn, sched, linear_seg_fn, sr_fn, x0, gt, key,
+        lcg_present_k=3, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(packed))

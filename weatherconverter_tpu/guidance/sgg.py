@@ -139,6 +139,47 @@ def apply_gsg(
     return mu_hat + ns * noise
 
 
+def present_class_ids(
+    gt: jax.Array, k: int, num_classes: int = 19
+) -> jax.Array:
+    """Per-image top-`k`-by-pixel-count class ids in `gt`, padded with -1.
+
+    The LCG recombine x_t = sum_c m_c * x_t^c (reference sgg.py:58) gets an
+    exact ZERO contribution from any class absent from an image's gt (its
+    mask m_c is zero everywhere), yet the reference loops over ALL 19 classes
+    (sgg.py:39) — paying a full masked seg fwd+bwd per absent class. Real
+    urban scenes contain far fewer than 19 train classes, so packing the
+    classes actually present into `k` static slots cuts the dominant LCG
+    cost by ~19/n_present with NO semantic change when k >= n_present.
+
+    Returned ids are sorted ASCENDING per image so the packed recombine sums
+    its terms in the same relative order as the full-19 loop — absent-class
+    terms are exact +-0.0, and x + (+-0.0) == x for every finite float, so
+    packing with k >= n_present is BIT-EXACT vs the full loop
+    (tests/test_guidance.py::test_apply_lcg_present_class_packing_exact).
+    When an image has more than `k` present classes the k largest-by-area
+    are kept (truncation changes semantics for the dropped classes' pixels;
+    quality adjudicated by scripts/headline_parity_gate.py --style alternate).
+
+    gt: (B, H, W) int train-ids (0..num_classes-1, 255 = ignore).
+    Returns (B, k) int32. Cheap (one bincount); shape is static, so it runs
+    once per translation OUTSIDE the sampling scan (gt is fixed per image).
+    """
+    flat = gt.reshape(gt.shape[0], -1)
+    # 255-ignore (and any id >= num_classes) lands in the overflow bucket
+    counts = jax.vmap(
+        lambda r: jnp.bincount(
+            jnp.clip(r, 0, num_classes).astype(jnp.int32),
+            length=num_classes + 1,
+        )
+    )(flat)[:, :num_classes]
+    top = jnp.argsort(-counts, axis=1)[:, :k].astype(jnp.int32)
+    top_counts = jnp.take_along_axis(counts, top, axis=1)
+    ids = jnp.where(top_counts > 0, top, num_classes)  # absent -> sentinel
+    ids = jnp.sort(ids, axis=1)  # ascending; sentinels sort last
+    return jnp.where(ids >= num_classes, -1, ids).astype(jnp.int32)
+
+
 def apply_lcg(
     seg_fn: SegFn,
     mu: jax.Array,
@@ -151,6 +192,7 @@ def apply_lcg(
     mode: str = "fixed",
     class_chunk: int = 4,
     noise_scale: jax.Array | None = None,
+    class_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Local class-wise guidance (reference: sgg.py:27-60): for each class c,
     mask image+label by m_c, compute the guidance field, form x_t^c, and
@@ -169,19 +211,42 @@ def apply_lcg(
     (jax.checkpoint) so only one chunk's activations are live at a time.
     Masks are downsampled to latent resolution for the recombine (fixing the
     reference's 512px-mask x 128px-latent shape bug, sgg.py:58).
+
+    `class_ids` ((B, K) or (K,) int32, -1 = empty slot; see
+    present_class_ids) replaces the all-classes sweep with K packed
+    per-image slots: slot j of image b guides THAT image's j-th present
+    class. Bit-exact vs the full sweep when every image's present classes
+    fit in K slots; a throughput lever (~19/n_present) either way.
     """
     pool = sr_xt.shape[1] // mu.shape[1]
     # chunking is exact (perf knob only); A/B sweeps pass class_chunk through
     # this argument — the library reads no env vars (a leaked benchmark flag
     # must not silently change the compiled program; ADVICE r2)
-    g = max(1, min(class_chunk, num_classes))
-    num_padded = -(-num_classes // g) * g
-    # padded class ids >= num_classes produce all-zero masks -> zero
-    # contribution to the recombine (and `covered`), so padding is exact.
-    classes = jnp.arange(num_padded, dtype=jnp.int32).reshape(-1, g)
+    if class_ids is None:
+        n_slots = num_classes
+        g = max(1, min(class_chunk, n_slots))
+        num_padded = -(-n_slots // g) * g
+        # padded class ids >= num_classes produce all-zero masks -> zero
+        # contribution to the recombine (and `covered`), so padding is exact.
+        classes = jnp.arange(num_padded, dtype=jnp.int32).reshape(-1, g)
+    else:
+        ids = class_ids if class_ids.ndim == 2 else class_ids[None]
+        if ids.shape[0] == 1 and sr_xt.shape[0] > 1:
+            ids = jnp.broadcast_to(ids, (sr_xt.shape[0], ids.shape[1]))
+        n_slots = ids.shape[1]
+        g = max(1, min(class_chunk, n_slots))
+        num_padded = -(-n_slots // g) * g
+        # pad slots carry id -1: matches no train-id pixel -> all-zero mask
+        ids_t = jnp.pad(
+            ids.T.astype(jnp.int32),
+            ((0, num_padded - n_slots), (0, 0)),
+            constant_values=-1,
+        )  # (K', B)
+        classes = ids_t.reshape(-1, g, ids_t.shape[1])  # (chunks, g, B)
 
-    def per_chunk(cs):  # cs: (g,)
-        mc = (gt[None] == cs[:, None, None, None]).astype(sr_xt.dtype)  # (g, B, H, W)
+    def per_chunk(cs):  # cs: (g,) shared ids | (g, B) per-image slots
+        sel = cs[:, None, None, None] if cs.ndim == 1 else cs[:, :, None, None]
+        mc = (gt[None] == sel).astype(sr_xt.dtype)  # (g, B, H, W)
         xm = sr_xt[None] * mc[..., None]  # (g, B, H, W, 3)
         gm = (gt[None] * mc.astype(gt.dtype)).astype(gt.dtype)  # label 0 outside c (ref sgg.py:45)
         b = sr_xt.shape[0]
@@ -191,8 +256,8 @@ def apply_lcg(
 
     mags, mcs = jax.lax.map(jax.checkpoint(per_chunk), classes)
     # un-chunk: (chunks, g, ...) -> (C', ...)
-    mags = mags.reshape((num_padded,) + mags.shape[2:])[:num_classes]
-    mcs = mcs.reshape((num_padded,) + mcs.shape[2:])[:num_classes]
+    mags = mags.reshape((num_padded,) + mags.shape[2:])[:n_slots]
+    mcs = mcs.reshape((num_padded,) + mcs.shape[2:])[:n_slots]
     # mags: (C, B, h, w, 1); mcs: (C, B, H, W)
     mu_hat_c = mu[None] + lam * sigma[None] * mags
     ns = sigma if noise_scale is None else noise_scale

@@ -73,6 +73,7 @@ def sample_with_sgg(
     num_classes: int = 19,
     mode: str = "fixed",
     lcg_class_chunk: int = 4,
+    lcg_present_k: Optional[int] = None,
     start_t: Optional[int] = None,
     normalize_seg_input: bool = False,
     guidance_every: int = 1,
@@ -97,6 +98,14 @@ def sample_with_sgg(
     `guidance_style`: 'alternate' = the reference's even->LCG / odd->GSG
     schedule (translation.py:84-87); 'gsg' / 'lcg' = that operator every
     guided step; 'none' = plain ancestral chain.
+
+    `lcg_present_k`: pack LCG's class sweep into K per-image slots holding
+    the classes actually present in each image's gt (computed ONCE before
+    the scan — gt is fixed for the whole chain). Absent classes contribute
+    exactly zero to the reference's recombine (sgg.py:58), so this is
+    bit-exact when K covers every present class and a ~19/n_present
+    throughput lever regardless (see guidance/sgg.present_class_ids).
+    None = the reference's full 19-class sweep.
 
     `guidance_space`: 'sr' (reference semantics, translation.py:81) feeds the
     seg model the SRGAN-upscaled latent and avg-pools the gradient back down
@@ -147,6 +156,12 @@ def sample_with_sgg(
     else:
         gt_guide = gt
 
+    lcg_class_ids = None
+    if lcg_present_k is not None:
+        from weatherconverter_tpu.guidance.sgg import present_class_ids
+
+        lcg_class_ids = present_class_ids(gt_guide, lcg_present_k, num_classes)
+
     if xt_init is not None:
         # segment continuation: consume `key` exactly as the single-call scan
         # would from this point (no entry split), so chained segments are
@@ -195,7 +210,7 @@ def sample_with_sgg(
             return apply_lcg(
                 seg_fn, mu, sigma, guide_input(), gt_guide, lam,
                 num_classes=num_classes, noise=z, mode=mode,
-                class_chunk=lcg_class_chunk,
+                class_chunk=lcg_class_chunk, class_ids=lcg_class_ids,
             )
 
         def gsg(_):
@@ -256,6 +271,7 @@ def sample_with_sgg_ddim(
     num_classes: int = 19,
     mode: str = "fixed",
     lcg_class_chunk: int = 4,
+    lcg_present_k: Optional[int] = None,
     normalize_seg_input: bool = False,
     guidance_style: str = "alternate",
 ) -> jax.Array:
@@ -283,6 +299,12 @@ def sample_with_sgg_ddim(
         seg_fn = lambda x: raw_seg_fn(normalize(x, IMAGENET_MEAN, IMAGENET_STD))
 
     from weatherconverter_tpu.diffusion.sampling import strided_taus
+
+    lcg_class_ids = None
+    if lcg_present_k is not None:
+        from weatherconverter_tpu.guidance.sgg import present_class_ids
+
+        lcg_class_ids = present_class_ids(gt, lcg_present_k, num_classes)
 
     span = min(DEFAULT_TRANSLATE_SPAN, sched.T) if span_t is None else span_t
     taus, tau_prev = strided_taus(span, num_steps)
@@ -320,6 +342,7 @@ def sample_with_sgg_ddim(
                 seg_fn, mean, guide_scale, sr_xt, gt, lam,
                 num_classes=num_classes, noise=z, mode=mode,
                 noise_scale=sigma_ddim, class_chunk=lcg_class_chunk,
+                class_ids=lcg_class_ids,
             )
 
         def gsg(_):
@@ -364,6 +387,7 @@ def sample_with_sgg_dpm(
     num_classes: int = 19,
     mode: str = "fixed",
     lcg_class_chunk: int = 4,
+    lcg_present_k: Optional[int] = None,
     normalize_seg_input: bool = False,
     guidance_style: str = "alternate",
 ) -> jax.Array:
@@ -382,6 +406,12 @@ def sample_with_sgg_dpm(
         seg_fn = lambda x: raw_seg_fn(normalize(x, IMAGENET_MEAN, IMAGENET_STD))
 
     from weatherconverter_tpu.diffusion.sampling import strided_taus
+
+    lcg_class_ids = None
+    if lcg_present_k is not None:
+        from weatherconverter_tpu.guidance.sgg import present_class_ids
+
+        lcg_class_ids = present_class_ids(gt, lcg_present_k, num_classes)
 
     span = min(DEFAULT_TRANSLATE_SPAN, sched.T) if span_t is None else span_t
     taus, tau_prev = strided_taus(span, num_steps)
@@ -417,6 +447,7 @@ def sample_with_sgg_dpm(
                 seg_fn, mean, guide_scale, sr_xt, gt, lam,
                 num_classes=num_classes, noise=z, mode=mode,
                 noise_scale=zero_ns, class_chunk=lcg_class_chunk,
+                class_ids=lcg_class_ids,
             )
 
         def gsg(_):

@@ -11,6 +11,7 @@ the jitted DP train step (one fused program per step); checkpoints are Orbax
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Optional
@@ -86,6 +87,16 @@ def train(
     from weatherconverter_tpu.parallel.sharding import plan_data_parallel
 
     ds = dataset if dataset is not None else build_dataset(cfg)
+    if len(ds) == 0:
+        # without this, a missing dataset "trains" vacuously: every epoch has
+        # zero batches yet checkpoints still save on the epoch cadence
+        raise FileNotFoundError(
+            "diffusion dataset is empty: no images under "
+            f"{os.path.join(cfg.data.root_dir, cfg.data.acdc_images)!r} for "
+            f"conditions {list(cfg.data.weather)!r} (expected the reference's "
+            "ACDC layout, dataloader.py:20-27: "
+            "<root>/rgb_anon/<condition>/<split>/**.png)"
+        )
     dp, global_batch = plan_data_parallel(
         tr.batch_size, scale_to_mesh=getattr(tr, "scale_batch_to_mesh", True)
     )
