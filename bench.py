@@ -222,6 +222,23 @@ def _run(args):
     on_tpu = dev.platform in ("tpu", "axon")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    def mfu_of(program, per_step_sec):
+        """MFU for the official programs (VERDICT r3 item 4): FLOPs from the
+        scripts/mfu.py artifact (XLA HLO cost analysis at production shapes,
+        B=8), peak = 197 TFLOP/s bf16 (v5e). None when the run isn't one of
+        the counted programs (tiny/CPU/odd batch) or the artifact is absent."""
+        if args.tiny or not on_tpu or args.batch != 8:
+            return None
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "outputs", "mfu_r06.json")) as fh:
+                prog = json.load(fh)["programs"].get(program)
+            if prog is None:
+                return None
+            return round(prog["gflops_per_step"] * 1e9 / per_step_sec / 197e12, 4)
+        except (OSError, KeyError, ValueError):
+            return None
+
     # forward-only modes take the int8-QK^T flash path on TPU (2x MXU rate at
     # the UNet's D=64 head depth); `train` differentiates through attention
     # and always keeps the exact bf16 kernel with its custom VJP
@@ -332,11 +349,15 @@ def _run(args):
             force(loss)
             best = min(best, (time.perf_counter() - t0) / n)
         value = B / best
-        print(json.dumps({
+        rec = {
             "metric": f"ddpm_train_{H}px_images_per_sec_per_chip",
             "value": round(value, 3), "unit": "img/s/chip",
             "vs_baseline": round(value / 20.0, 3),
-        }))
+        }
+        mfu = mfu_of("train", best)
+        if mfu is not None:
+            rec["mfu"] = mfu
+        print(json.dumps(rec))
         return
 
     # --- translate (headline) / -alternate / -ddim / -dpm ---
@@ -531,11 +552,22 @@ def _run(args):
     # (no extrapolation when bench_steps == steps — the official runs)
     value = B * 60.0 / (per_step * steps)
     suffix = ("_alternate_lcg_gsg" if style == "alternate" else "") + var_tag
-    print(json.dumps({
+    rec = {
         "metric": f"guided_{HR}px_{steps}step_translations_per_min_per_chip{suffix}",
         "value": round(value, 3), "unit": "translations/min/chip",
         "vs_baseline": round(value / 20.0, 3),
-    }))
+    }
+    if sr_factor == 2 and args.lcg_present_k is None:
+        program = {
+            ("gsg", 1, "sr"): "translate_exact",
+            ("gsg", 2, "latent"): "translate_headline",
+            ("alternate", 1, "sr"): "translate_alternate",
+        }.get((style, g_every, g_space))
+        if program is not None:
+            mfu = mfu_of(program, per_step)
+            if mfu is not None:
+                rec["mfu"] = mfu
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

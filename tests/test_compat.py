@@ -542,3 +542,54 @@ def test_resolve_backbone_checkpoint_by_name(tmp_path, monkeypatch):
     # not cached: loud failure naming the searched dirs
     with _pytest.raises(FileNotFoundError, match="xception"):
         resolve_backbone_checkpoint("imagenet", "deeplabv3plus_xception")
+
+
+@pytest.mark.slow
+def test_unet_import_output_parity_production_shape():
+    """Output parity at the PRODUCTION config (reference
+    diffusion_model/config/config.yaml:20-28: channels [64,128,256,512,768],
+    mid [768,768,512], 2 layers per block, attention at all four resolutions
+    [8,16,32,64], im_size 128) — the exact wiring the tiny-config parity test
+    cannot see (VERDICT r3: a silent divergence in the production ladder is
+    where a bug would hide). One sample, one timestep; several minutes of CPU
+    compile, hence slow-marked."""
+    from diffusion_model.config.models import ModelConfig
+    from diffusion_model.models.unet_base import Unet as TorchUnet
+
+    from weatherconverter_tpu.compat.torch_import import convert_unet
+    from weatherconverter_tpu.core.config import UnetModelConfig
+    from weatherconverter_tpu.models.unet import Unet
+
+    torch.manual_seed(0)
+    ref_cfg = ModelConfig(
+        name="ddpm",
+        im_channels=3,
+        im_size=128,
+        down_channels=[64, 128, 256, 512, 768],
+        mid_channels=[768, 768, 512],
+        down_sample=[True, True, True, False],
+        time_emb_dim=128,
+        num_down_layers=2,
+        num_mid_layers=2,
+        num_up_layers=2,
+        num_heads=4,
+        attn_resolutions=[8, 16, 32, 64],
+    )
+    tmodel = TorchUnet(ref_cfg).eval()
+
+    our_cfg = UnetModelConfig(**{k: getattr(ref_cfg, k) for k in (
+        "im_channels", "im_size", "down_channels", "mid_channels",
+        "down_sample", "time_emb_dim", "num_down_layers", "num_mid_layers",
+        "num_up_layers", "num_heads", "attn_resolutions")})
+    model = Unet(config=our_cfg, fused=False)
+    params = convert_unet(tmodel.state_dict(), our_cfg)
+
+    x = np.random.RandomState(0).randn(1, 3, 128, 128).astype(np.float32)
+    t = np.array([499])
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    got = model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t)
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
