@@ -26,7 +26,30 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+import json  # noqa: E402
+
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-lane split (VERDICT r3 item 3): auto-mark tests as `slow` from the
+    measured-duration manifest (tests/durations.json) so `-m 'not slow'` is a
+    real smoke lane (<3 min) without hand-maintaining dozens of decorators.
+
+    Rules: a test whose measured total (call+setup+teardown) exceeds
+    `threshold_seconds` is slow; every test in `always_slow_files` is slow
+    (session-scoped tiny-world training, two-process multihost). Tests with
+    no manifest entry (new since the last full run) default to FAST — they
+    get measured at the next full-lane run."""
+    with open(os.path.join(os.path.dirname(__file__), "durations.json")) as fh:
+        manifest = json.load(fh)
+    thresh = manifest["threshold_seconds"]
+    durs = manifest["tests"]
+    always = set(manifest["always_slow_files"])
+    for item in items:
+        fname = item.nodeid.split("::")[0]
+        if fname in always or durs.get(item.nodeid, 0.0) > thresh:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")
