@@ -49,7 +49,12 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-bool decode_jpeg(FILE* f, ImageU8* out) {
+// req_min_side / (req_h, req_w): when nonzero, the decode may use libjpeg's
+// DCT-domain M/8 pre-scaling (the PIL Image.draft() trick) as long as the
+// scaled output still COVERS the requirement — the triangle resize below then
+// only ever downsamples. IDCT work drops ~(M/8)^2; entropy decode remains.
+// Pass zeros for bit-faithful full decode (the strict PIL-parity paths).
+bool decode_jpeg(FILE* f, ImageU8* out, int req_min_side, int req_h, int req_w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -65,6 +70,19 @@ bool decode_jpeg(FILE* f, ImageU8* out) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (req_min_side > 0 || req_h > 0) {
+    for (int m = 1; m <= 8; ++m) {
+      cinfo.scale_num = static_cast<unsigned>(m);
+      cinfo.scale_denom = 8;
+      jpeg_calc_output_dimensions(&cinfo);
+      const int oh = static_cast<int>(cinfo.output_height);
+      const int ow = static_cast<int>(cinfo.output_width);
+      bool ok = true;
+      if (req_min_side > 0 && std::min(oh, ow) < req_min_side) ok = false;
+      if (req_h > 0 && (oh < req_h || ow < req_w)) ok = false;
+      if (ok) break;  // smallest covering scale (m==8 == full size fallback)
+    }
+  }
   jpeg_start_decompress(&cinfo);
   out->h = static_cast<int>(cinfo.output_height);
   out->w = static_cast<int>(cinfo.output_width);
@@ -118,7 +136,9 @@ bool decode_png(FILE* f, ImageU8* out) {
   return true;
 }
 
-bool decode_file(const char* path, ImageU8* out) {
+// Scale hints apply to JPEG only (PNG has no cheap partial decode).
+bool decode_file(const char* path, ImageU8* out, int req_min_side = 0,
+                 int req_h = 0, int req_w = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[8] = {0};
@@ -126,7 +146,7 @@ bool decode_file(const char* path, ImageU8* out) {
   rewind(f);
   bool ok = false;
   if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8 && magic[2] == 0xFF) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, req_min_side, req_h, req_w);
   } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
     ok = decode_png(f, out);
   }
@@ -218,9 +238,10 @@ void resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh
 
 // smaller-side resize + center-crop/edge-pad into a fixed (th, tw) box —
 // the semantics of data/datasets.py::load_image_resized
-bool decode_to_box(const char* path, int smaller_side, int th, int tw, uint8_t* out) {
+bool decode_to_box(const char* path, int smaller_side, int th, int tw, uint8_t* out,
+                   bool fast_dct = false) {
   ImageU8 img;
-  if (!decode_file(path, &img)) return false;
+  if (!decode_file(path, &img, fast_dct ? smaller_side : 0)) return false;
   int nh, nw;
   if (img.h <= img.w) {
     nh = smaller_side;
@@ -247,9 +268,10 @@ bool decode_to_box(const char* path, int smaller_side, int th, int tw, uint8_t* 
 }
 
 // exact-size resize (paired seg images) — ExtResize semantics
-bool decode_exact(const char* path, int th, int tw, uint8_t* out) {
+bool decode_exact(const char* path, int th, int tw, uint8_t* out,
+                  bool fast_dct = false) {
   ImageU8 img;
-  if (!decode_file(path, &img)) return false;
+  if (!decode_file(path, &img, 0, fast_dct ? th : 0, fast_dct ? tw : 0)) return false;
   resize_bilinear_u8(img.rgb.data(), img.h, img.w, out, th, tw);
   return true;
 }
@@ -335,32 +357,40 @@ int run_batch(int n, int nthreads, Fn&& per_item) {
 
 extern "C" {
 
+// Bumped whenever the C ABI below changes; data/native.py refuses to bind a
+// mismatched .so (a stale library would otherwise be called with the wrong
+// argument list). v2: + fast_dct trailing arg on all decode entry points.
+int wc_abi_version(void) { return 2; }
+
 // Decode one file into a fixed (th, tw) RGB box (smaller-side resize +
-// center crop/pad). Returns 0 on success.
-int wc_decode_box(const char* path, int smaller_side, int th, int tw, uint8_t* out) {
-  return decode_to_box(path, smaller_side, th, tw, out) ? 0 : 1;
+// center crop/pad). fast_dct != 0 allows JPEG DCT-domain pre-scaling (a few
+// LSBs off the full-decode path; PNG unaffected). Returns 0 on success.
+int wc_decode_box(const char* path, int smaller_side, int th, int tw, uint8_t* out,
+                  int fast_dct) {
+  return decode_to_box(path, smaller_side, th, tw, out, fast_dct != 0) ? 0 : 1;
 }
 
 // Decode one file to an exact (th, tw) RGB resize. Returns 0 on success.
-int wc_decode_exact(const char* path, int th, int tw, uint8_t* out) {
-  return decode_exact(path, th, tw, out) ? 0 : 1;
+int wc_decode_exact(const char* path, int th, int tw, uint8_t* out, int fast_dct) {
+  return decode_exact(path, th, tw, out, fast_dct != 0) ? 0 : 1;
 }
 
 // Batched variants over the persistent pool; `out` is (n, th, tw, 3)
 // contiguous. Returns the number of failed items.
 int wc_decode_box_batch(const char** paths, int n, int smaller_side, int th, int tw,
-                        uint8_t* out, int nthreads) {
+                        uint8_t* out, int nthreads, int fast_dct) {
   const size_t stride = static_cast<size_t>(th) * tw * 3;
   return run_batch(n, nthreads, [&](int i) {
-    return decode_to_box(paths[i], smaller_side, th, tw, out + stride * i);
+    return decode_to_box(paths[i], smaller_side, th, tw, out + stride * i,
+                         fast_dct != 0);
   });
 }
 
 int wc_decode_exact_batch(const char** paths, int n, int th, int tw, uint8_t* out,
-                          int nthreads) {
+                          int nthreads, int fast_dct) {
   const size_t stride = static_cast<size_t>(th) * tw * 3;
   return run_batch(n, nthreads, [&](int i) {
-    return decode_exact(paths[i], th, tw, out + stride * i);
+    return decode_exact(paths[i], th, tw, out + stride * i, fast_dct != 0);
   });
 }
 

@@ -75,3 +75,30 @@ def test_loader_uses_batch_fast_path(images, tmp_path):
     batches = list(dl)
     assert len(batches) == 2
     assert batches[0].shape == (2, 32, int(round(32 * 16 / 9)), 3)
+
+
+def test_fast_dct_decode(images, tmp_path):
+    # PNG: fast flag is a no-op, bit-identical
+    p_png = images[0]
+    np.testing.assert_array_equal(
+        native.decode_box(p_png, 32, (32, 57)), native.decode_box(p_png, 32, (32, 57), fast=True)
+    )
+    # JPEG from a large smooth source: DCT pre-scaling stays close to the
+    # full-decode path (it is PIL's draft() trick: decode at the smallest
+    # covering M/8 scale, then the same triangle resize)
+    yy, xx = np.mgrid[0:512, 0:768].astype(np.float32)
+    smooth = np.stack([
+        127 + 90 * np.sin(yy / 37.0), 127 + 90 * np.cos(xx / 53.0),
+        127 + 90 * np.sin((xx + yy) / 71.0)], -1).astype(np.uint8)
+    jp = str(tmp_path / "big.jpg")
+    Image.fromarray(smooth).save(jp, quality=92)
+    full = native.decode_box(jp, 64, (64, 64)).astype(np.int32)
+    fast = native.decode_box(jp, 64, (64, 64), fast=True).astype(np.int32)
+    assert np.abs(full - fast).mean() < 2.0
+    assert np.abs(full - fast).max() <= 24
+    # exact variant too
+    fe = native.decode_exact(jp, (64, 96), fast=True)
+    assert fe is not None and fe.shape == (64, 96, 3)
+    # batch fast path agrees with the single-item fast path
+    b = native.decode_box_batch([jp, jp], 64, (64, 64), fast=True)
+    np.testing.assert_array_equal(b[0], fast.astype(np.uint8))

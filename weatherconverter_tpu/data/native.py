@@ -32,14 +32,21 @@ def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("WCTPU_NO_NATIVE") == "1":
         return None
     so = os.path.join(_repo_root(), "native", "libwcdecode.so")
-    if not os.path.exists(so):
+    src = os.path.join(_repo_root(), "native", "wcdecode.cpp")
+    stale = (
+        not os.path.exists(so)
+        or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so))
+    )
+    if stale:
         try:
             subprocess.run(
-                ["make", "-C", os.path.dirname(so)],
+                ["make", "-C", os.path.dirname(so), "-B"],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None  # no .so at all; else fall through to the
+                # version check, which rejects a stale ABI loudly-but-safely
     try:
         lib = ctypes.CDLL(so)
     except OSError:
@@ -55,26 +62,34 @@ def _load() -> Optional[ctypes.CDLL]:
     return lib
 
 
+_ABI_VERSION = 2  # bump in lockstep with wc_abi_version() in wcdecode.cpp
+
+
 def _bind_symbols(lib: ctypes.CDLL) -> None:
+    lib.wc_abi_version.restype = ctypes.c_int
+    lib.wc_abi_version.argtypes = []
+    if lib.wc_abi_version() != _ABI_VERSION:
+        raise AttributeError("stale libwcdecode.so ABI")
     lib.wc_decode_box.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.wc_decode_box.restype = ctypes.c_int
     lib.wc_decode_exact.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.wc_decode_exact.restype = ctypes.c_int
     for fn in (lib.wc_decode_box_batch, lib.wc_decode_exact_batch):
         fn.restype = ctypes.c_int
     lib.wc_decode_box_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int,
     ]
     lib.wc_decode_exact_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
     ]
 
 
@@ -88,7 +103,13 @@ def _paths_array(paths: Sequence[str]):
     return arr
 
 
-def decode_box(path: str, smaller_side: int, out_hw: tuple[int, int]) -> Optional[np.ndarray]:
+def decode_box(
+    path: str, smaller_side: int, out_hw: tuple[int, int], fast: bool = False
+) -> Optional[np.ndarray]:
+    """fast=True permits JPEG DCT-domain pre-scaling (PIL draft() semantics):
+    decode at the smallest M/8 scale whose min side still covers
+    `smaller_side`, then triangle-resize down. A few LSBs off the full-decode
+    path on JPEG sources; PNG is bit-identical either way."""
     lib = _load()
     if lib is None:
         return None
@@ -96,25 +117,29 @@ def decode_box(path: str, smaller_side: int, out_hw: tuple[int, int]) -> Optiona
     out = np.empty((th, tw, 3), dtype=np.uint8)
     rc = lib.wc_decode_box(
         path.encode(), smaller_side, th, tw,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(fast),
     )
     return out if rc == 0 else None
 
 
-def decode_exact(path: str, out_hw: tuple[int, int]) -> Optional[np.ndarray]:
+def decode_exact(
+    path: str, out_hw: tuple[int, int], fast: bool = False
+) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
     th, tw = out_hw
     out = np.empty((th, tw, 3), dtype=np.uint8)
     rc = lib.wc_decode_exact(
-        path.encode(), th, tw, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        path.encode(), th, tw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(fast),
     )
     return out if rc == 0 else None
 
 
 def decode_box_batch(
-    paths: Sequence[str], smaller_side: int, out_hw: tuple[int, int], nthreads: int = 0
+    paths: Sequence[str], smaller_side: int, out_hw: tuple[int, int],
+    nthreads: int = 0, fast: bool = False,
 ) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
@@ -123,13 +148,14 @@ def decode_box_batch(
     out = np.empty((len(paths), th, tw, 3), dtype=np.uint8)
     fails = lib.wc_decode_box_batch(
         _paths_array(paths), len(paths), smaller_side, th, tw,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nthreads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nthreads, int(fast),
     )
     return out if fails == 0 else None
 
 
 def decode_exact_batch(
-    paths: Sequence[str], out_hw: tuple[int, int], nthreads: int = 0
+    paths: Sequence[str], out_hw: tuple[int, int], nthreads: int = 0,
+    fast: bool = False,
 ) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
@@ -138,6 +164,6 @@ def decode_exact_batch(
     out = np.empty((len(paths), th, tw, 3), dtype=np.uint8)
     fails = lib.wc_decode_exact_batch(
         _paths_array(paths), len(paths), th, tw,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nthreads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nthreads, int(fast),
     )
     return out if fails == 0 else None
