@@ -81,6 +81,14 @@ copts = None
 vmem_kib = os.environ.get("WCTPU_SCOPED_VMEM_KIB")
 if vmem_kib:
     copts = {"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
+# arbitrary compiler-option sweep: WCTPU_XLA_COPTS="flag=val,flag=val"
+# (fresh process per variant — CLAUDE.md rule 3)
+extra = os.environ.get("WCTPU_XLA_COPTS")
+if extra:
+    copts = dict(copts or {})
+    for kv in extra.split(","):
+        k, v = kv.split("=", 1)
+        copts[k.strip()] = v.strip()
 f = jax.jit(run, compiler_options=copts)
 allp = (uparams, seg_vars, gvars)
 float(jnp.sum(f(allp, jax.random.PRNGKey(999)).astype(jnp.float32)))  # compile

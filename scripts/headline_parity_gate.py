@@ -149,8 +149,12 @@ def adjudicate(report):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
-    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--n-eval", type=int, default=16)
+    ap.add_argument("--budget-scale", type=float, default=1.0,
+                    help="multiply the tiny-world training budget (VERDICT "
+                         "r3 item 5: a longer-trained world shrinks the "
+                         "chain-noise FID sigma the gate divides by)")
     ap.add_argument("--style", default="gsg", choices=["gsg", "alternate"],
                     help="which guidance schedule to adjudicate: 'gsg' (the "
                          "bench.py headline) or 'alternate' (the reference's "
@@ -170,6 +174,8 @@ def main():
         if args.fast
         else dict(T=100, ddpm_steps=600, seg_steps=800, srgan_steps=500, batch=16)
     )
+    for k in ("ddpm_steps", "seg_steps", "srgan_steps"):
+        budget[k] = int(budget[k] * args.budget_scale)
     models = tiny_train(budget)
     if args.style == "gsg":
         candidates = [
@@ -194,6 +200,23 @@ def main():
                             style=args.style)
     verdicts = adjudicate(report)
 
+    # Minimum detectable effect (VERDICT r3 item 5). The criterion flags a
+    # candidate iff |mean_cand - mean_exact| > 2*sigma_pooled, so the
+    # smallest TRUE mean shift detected with ~80% power is
+    #   MDE ~= sigma_pooled * (2 + 0.84*sqrt(2/n))
+    # (the 0.84 term is the one-sided 80% normal quantile applied to the
+    # standard error of the mean difference, sigma*sqrt(2/n)).
+    n = args.seeds
+    exact = report["exact"]
+    mde = {}
+    for metric, key in (("fid", "fid_backbone"), ("miou", "miou_translated")):
+        sig = exact[key]["std"]
+        mde[metric] = {
+            "sigma_exact": sig,
+            "se_mean_diff": round(sig * math.sqrt(2.0 / n), 4),
+            "mde_80pct_power": round(sig * (2.0 + 0.84 * math.sqrt(2.0 / n)), 4),
+        }
+
     out = {
         "world": "quality_gate tiny-TRAINED world (structured 5-class)",
         "budget": budget, "translate_steps": 50, "n_seeds": args.seeds,
@@ -203,13 +226,16 @@ def main():
                  "translation.py:84-87 schedule)"),
         "settings": report,
         "verdicts": verdicts,
+        "minimum_detectable_effect": mde,
         "criterion": "parity iff |z_fid|<=2 and |z_miou|<=2 vs the exact "
                      "schedule's seed distribution, plus the guided-side "
-                     "guard vs lam0",
+                     "guard vs lam0; effects below "
+                     "minimum_detectable_effect.*.mde_80pct_power are "
+                     "invisible to this gate",
     }
     os.makedirs(os.path.join(REPO, "outputs"), exist_ok=True)
-    fname = ("headline_parity_r05.json" if args.style == "gsg"
-             else "alternate_parity_r05.json")
+    fname = ("headline_parity_r06.json" if args.style == "gsg"
+             else "alternate_parity_r06.json")
     path = os.path.join(REPO, "outputs", fname)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
