@@ -78,7 +78,7 @@ def run_candidates(models, n_eval, num_steps, n_seeds, candidates, log=print,
         axis=(1, 2),
     ).astype(jnp.float32)
 
-    def make_translate(every, space):
+    def make_translate(every, space, present_k=None):
         @jax.jit
         def translate(up, sv, gv, i_, g_, k_, lam):
             return sample_with_sgg(
@@ -88,6 +88,7 @@ def run_candidates(models, n_eval, num_steps, n_seeds, candidates, log=print,
                 i_, g_, k_, lam=lam, num_steps=num_steps, num_classes=C,
                 mode="fixed", guidance_style=style, start_t=num_steps - 1,
                 guidance_every=every, guidance_space=space,
+                lcg_present_k=present_k,
             )
         return translate
 
@@ -98,8 +99,8 @@ def run_candidates(models, n_eval, num_steps, n_seeds, candidates, log=print,
                 "values": [round(float(v), 4) for v in a]}
 
     report = {}
-    for name, every, space, lam in candidates:
-        tr = make_translate(every, space)
+    for name, every, space, lam, *rest in candidates:
+        tr = make_translate(every, space, present_k=rest[0] if rest else None)
         fids, mious = [], []
         for s in range(n_seeds):
             out = tr(uparams, seg_vars, gvars, lr_in, labels,
@@ -110,6 +111,8 @@ def run_candidates(models, n_eval, num_steps, n_seeds, candidates, log=print,
         report[name] = {"guidance_every": every, "guidance_space": space,
                         "lam": lam, "fid_backbone": stat(fids),
                         "miou_translated": stat(mious)}
+        if rest:
+            report[name]["lcg_present_k"] = rest[0]
         log(f"{name}: fid={report[name]['fid_backbone']['mean']:.2f}"
             f"±{report[name]['fid_backbone']['std']:.2f} "
             f"miou={report[name]['miou_translated']['mean']:.4f}"
@@ -195,6 +198,12 @@ def main():
             ("glatent", 1, "latent", 60.0),  # latent-res LCG+GSG, no per-step
                                              # SRGAN, 19 masked grads at latent
                                              # instead of SR resolution
+            # TRUNCATING present-class packing (round 6): K=3 < the world's 5
+            # classes, so LCG drops the two smallest classes per image — a
+            # semantic change (unlike covering-K packing, which is bit-exact
+            # and needs no gate). Adjudicates whether majority-class-only
+            # LCG keeps parity.
+            ("lcg_topk3", 1, "sr", 60.0, 3),
         ]
     report = run_candidates(models, args.n_eval, 50, args.seeds, candidates,
                             style=args.style)

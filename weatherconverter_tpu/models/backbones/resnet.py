@@ -131,7 +131,12 @@ class Bottleneck(nn.Module):
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
-    """torch MaxPool2d(kernel_size=3, stride=2, padding=1), NHWC."""
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1), NHWC.
+
+    Differentiates through XLA's SelectAndScatter — measured OPTIMAL on the
+    v5e: a gather-based 9-tap first-match-wins custom VJP (round 6, git
+    history) was grad-exact but 7 ms/step SLOWER in situ (PROFILE.md
+    round-6 attack log)."""
     return jax.lax.reduce_window(
         x,
         -jnp.inf,

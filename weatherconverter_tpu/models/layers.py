@@ -140,6 +140,12 @@ def conv_transpose_torch(
     hangs the compiler for 9+ minutes, while the equivalent lhs-dilation
     form compiles in <1 s. Verified bit-equal (<2e-6) vs
     torch.nn.functional.conv_transpose2d.
+
+    A sub-pixel phase decomposition (one 2x2 conv with C_out'=4*C_out +
+    interleave — 4x fewer scheduled MACs than a naive zero-inserting
+    lowering) was built, verified exact, and measured FLAT in situ on v5e
+    (round 6, PROFILE.md attack log): XLA already strength-reduces the
+    lhs-dilation. Reverted per the tap-matmul policy; git history has it.
     """
     k = kernel.shape[0]
     pad = k - 1 - padding
