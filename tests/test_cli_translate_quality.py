@@ -69,6 +69,41 @@ def test_cli_translate_end_to_end(tiny_cfg, tmp_path):
     assert rc == 0 and out.exists()
 
 
+def test_cli_translate_lcg_present_k_auto_bit_exact(tiny_cfg, tmp_path):
+    """--lcg-present-k auto (the default) resolves a covering K from the
+    concrete label host-side and must be BIT-IDENTICAL to the full sweep
+    ('off'); a truncating K (fewer than the present classes) must change
+    the output; bad values are refused loudly."""
+    rng = np.random.RandomState(1)
+    img = tmp_path / "in.png"
+    Image.fromarray(rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)).save(img)
+    lbl = tmp_path / "gt.png"
+    plane = np.zeros((32, 32), np.uint8)
+    plane[:16, :16] = 7   # road -> train-id 0
+    plane[:16, 16:] = 8   # sidewalk -> 1
+    plane[16:, :] = 11    # building -> 2
+    Image.fromarray(plane).save(lbl)
+
+    outs = {}
+    for name, k in (("auto", "auto"), ("off", "off"), ("trunc", "2")):
+        out = tmp_path / f"{name}.png"
+        rc = main([
+            "translate", "--config", tiny_cfg, "--image", str(img),
+            "--label", str(lbl), "--steps", "4", "--seed", "3",
+            "--lcg-present-k", k, "--out", str(out),
+        ])
+        assert rc == 0 and out.exists()
+        outs[name] = np.asarray(Image.open(out))
+    np.testing.assert_array_equal(outs["auto"], outs["off"])
+    assert not np.array_equal(outs["trunc"], outs["off"])
+
+    with pytest.raises(SystemExit, match="lcg-present-k"):
+        main([
+            "translate", "--config", tiny_cfg, "--image", str(img),
+            "--label", str(lbl), "--lcg-present-k", "nope",
+        ])
+
+
 def test_cli_quality_synthetic_report(tiny_cfg, tmp_path):
     out = tmp_path / "quality.json"
     rc = main([

@@ -164,6 +164,26 @@ def _load_image(path, size):
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
+def _resolve_lcg_present_k(spec, gt, num_classes: int):
+    """CLI --lcg-present-k: 'auto' = the count of distinct train-ids in the
+    concrete label (bit-exact covering K, computed host-side because K is a
+    static shape), 'off'/None = full sweep, integer = truncating K."""
+    if spec in (None, "off"):
+        return None
+    if spec == "auto":
+        k = int(np.unique(np.asarray(gt)[np.asarray(gt) != 255]).size)
+        return min(max(k, 1), num_classes)
+    try:
+        k = int(spec)
+    except ValueError:
+        raise SystemExit(
+            f"--lcg-present-k must be 'auto', 'off', or an integer; got {spec!r}"
+        )
+    if not 1 <= k <= num_classes:
+        raise SystemExit(f"--lcg-present-k out of range 1..{num_classes}: {k}")
+    return k
+
+
 def _run_translate_debug(
     args, cfg, unet, uparams, sched, seg, seg_vars, gen, gvars, img, gt, key
 ) -> int:
@@ -300,6 +320,15 @@ def run_translate(args) -> int:
     lbl = Image.open(args.label).resize((hr, hr), Image.NEAREST)
     gt = encode_target(np.asarray(lbl, dtype=np.uint8))
 
+    # LCG present-class packing (guidance/sgg.present_class_ids). 'auto'
+    # counts the concrete label's distinct train-ids HOST-SIDE (K must be a
+    # static shape; the gt is fixed for the whole chain) — bit-exact vs the
+    # full sweep because K covers every present class. Only the LCG steps of
+    # the alternate schedule are affected; GSG-only paths ignore it.
+    lcg_k = _resolve_lcg_present_k(
+        getattr(args, "lcg_present_k", "off"), gt, cfg.seg.model.num_classes
+    )
+
     # sampler-appropriate step defaults: the fast paths exist for FEW-step
     # translation (500 would negate their purpose; review round 3)
     sampler = getattr(args, "sampler", "ddpm")
@@ -345,6 +374,7 @@ def run_translate(args) -> int:
             common = dict(
                 lam=args.lam, num_steps=args.steps, span_t=span_t,
                 num_classes=cfg.seg.model.num_classes, mode=args.mode,
+                lcg_present_k=lcg_k,
             )
             dfn = lambda x, t: unet.apply({"params": up}, x, t)
             sfn = lambda x: seg.apply(sv, x)
@@ -362,7 +392,7 @@ def run_translate(args) -> int:
         translate = make_translate_fn(
             unet, uparams, sched, seg, seg_vars, gen, gvars,
             lam=args.lam, num_steps=args.steps, mode=args.mode,
-            num_classes=cfg.seg.model.num_classes,
+            num_classes=cfg.seg.model.num_classes, lcg_present_k=lcg_k,
         )
     out = translate(jnp.asarray(img)[None], jnp.asarray(gt)[None], k4)
     save_images(out, args.out, nrow=1, from_range="unit")

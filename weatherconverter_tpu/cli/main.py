@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--no-int8-attn", action="store_true",
                     help="keep exact bf16 flash attention (default on TPU: "
                          "int8 QK^T, 2x MXU rate — PROFILE.md round 4)")
+    tr.add_argument("--lcg-present-k", default="auto",
+                    help="pack LCG's 19-class sweep into K per-image slots "
+                         "holding the classes present in the gt. 'auto' "
+                         "(default) counts the label's distinct train-ids — "
+                         "BIT-EXACT vs the full sweep, ~19/n_present faster "
+                         "on the LCG steps (PROFILE.md round 6); an integer "
+                         "truncates to the K largest-by-area classes "
+                         "(semantics adjudicated by headline_parity_gate "
+                         "--style alternate); 'off' = full 19-class sweep")
     tr.add_argument("--debug-dir", default=None,
                     help="dump per-chain intermediates (input/gt/noised xt/"
                          "xt snapshots/final SR + seg pred) to this dir — "
