@@ -18,7 +18,7 @@ HEADLINE SCHEDULE (VERDICT r2 item 1): the north-star is ">=20 guided 256px
 of OUTPUT QUALITY, not of schedule. The default headline therefore runs the
 fastest guidance variant that PASSED the 2-sigma FID+mIoU parity gate vs the
 reference-exact schedule (scripts/headline_parity_gate.py, artifact
-outputs/headline_parity_r05.json: all |z| <= 0.72): guidance every 2nd step
+outputs/headline_parity_r06.json: 10 seeds, shipped levers all |z| <= 0.59 against a |z| <= 2 criterion): guidance every 2nd step
 with lam rescaled x2 (dose-preserving) + seg CE differentiated at latent
 resolution (no per-step SRGAN). `--reference-exact` restores the reference's
 every-step SR-space schedule; BOTH numbers are reported in PROFILE.md
@@ -438,7 +438,7 @@ def _run(args):
     # lam scales with guidance_every so the summed lam*sigma_t*||grad||
     # over the chain matches the every-step schedule. The headline mode
     # defaults to the fastest gate-passed variant (gevery2 + latent-space
-    # guidance, outputs/headline_parity_r05.json); --reference-exact or the
+    # guidance, outputs/headline_parity_r06.json); --reference-exact or the
     # explicit flags override. Other modes default to exact semantics.
     # parity-mode default only at the north-star shape (sr=2): the gate
     # artifact adjudicated pool=2 latent guidance, not the 4x reference shape
