@@ -135,6 +135,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ddim / dpm = few-step fast translation for serving "
                          "latency (dpm = 2nd-order DPM-Solver++(2M), ~20 steps)")
     sv.add_argument("--max-wait-ms", type=float, default=25.0)
+    sv.add_argument("--lcg-present-k", type=int, default=None,
+                    help="static LCG class-slot count for the compiled "
+                         "serving program (bit-exact for labels with <= K "
+                         "classes, truncates to the K largest otherwise; "
+                         "default: full sweep). The CLI translate command's "
+                         "'auto' has no serving analog — one program serves "
+                         "every request")
     sv.add_argument("--ddpm-checkpoint", default=None)
     sv.add_argument("--seg-checkpoint", default=None)
     sv.add_argument("--srgan-checkpoint", default=None)
@@ -275,7 +282,7 @@ def main(argv=None) -> int:
         service = TranslationService(
             cfg, args.ddpm_checkpoint, args.seg_checkpoint, args.srgan_checkpoint,
             batch=args.batch, steps=args.steps, max_wait_ms=args.max_wait_ms,
-            sampler=args.sampler,
+            sampler=args.sampler, lcg_present_k=args.lcg_present_k,
         )
         print(
             f"serving on :{args.port} (batch={args.batch}, "

@@ -66,7 +66,13 @@ class TranslationService:
         steps: Optional[int] = None,
         max_wait_ms: float = 25.0,
         sampler: str = "ddpm",
+        lcg_present_k: Optional[int] = None,
     ):
+        # lcg_present_k: pack LCG's class sweep into K static slots (the
+        # serving program compiles ONCE, so per-request 'auto' would
+        # retrace; pick K >= the max class count you expect per scene —
+        # bit-exact whenever a request's label has <= K classes, truncates
+        # to the K largest otherwise; guidance/sgg.present_class_ids).
         import jax
         import jax.numpy as jnp
 
@@ -166,6 +172,7 @@ class TranslationService:
                         im[None], g[None], k,
                         lam=lam, num_steps=translate_steps, span_t=ddim_span,
                         num_classes=num_classes, mode=mode,
+                        lcg_present_k=lcg_present_k,
                     )[0]
                 if sampler == "ddim":
                     return sample_with_sgg_ddim(
@@ -176,6 +183,7 @@ class TranslationService:
                         im[None], g[None], k,
                         lam=lam, num_steps=translate_steps, span_t=ddim_span,
                         num_classes=num_classes, mode=mode,
+                        lcg_present_k=lcg_present_k,
                     )[0]
                 return sample_with_sgg(
                     lambda x, t: unet.apply({"params": dp}, x, t),
@@ -185,6 +193,7 @@ class TranslationService:
                     im[None], g[None], k,
                     lam=lam, num_steps=translate_steps,
                     num_classes=num_classes, mode=mode,
+                    lcg_present_k=lcg_present_k,
                 )[0]
 
             return jax.vmap(one)(imgs, gts, keys)
