@@ -296,6 +296,31 @@ def test_flash_attention_backward_bf16_path():
         )
 
 
+def test_flash_attention_backward_tile_override(monkeypatch):
+    """WCTPU_ATTN_BWD_BQ (the scripts/ab_train.py backward-tile sweep knob)
+    must only re-tile the grid: gradients at every legal block_q agree with
+    the default pick to f32 accumulation-order tolerance, and an illegal
+    (non-dividing) value is ignored rather than crashing."""
+    from weatherconverter_tpu.ops.attention import flash_attention
+
+    B, H, N, D = 1, 2, 256, 32
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (B, H, N, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, N, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, N, D), jnp.float32)
+    loss = lambda q_, k_, v_: jnp.sum(flash_attention(q_, k_, v_) ** 2)
+
+    base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for bq in ("32", "64", "128", "256", "96"):  # 96 does not divide 256
+        monkeypatch.setenv("WCTPU_ATTN_BWD_BQ", bq)
+        got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for g, b, name in zip(got, base, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(b), atol=1e-4, rtol=1e-4,
+                err_msg=f"d{name} mismatch at bq={bq}",
+            )
+
+
 def test_stem_conv_packed_backward_matches_autodiff():
     """ops/packed_conv.stem_conv: forward identical to the plain XLA conv;
     custom parity-decomposed + shift-packed data-grad and the filter-grad

@@ -301,6 +301,73 @@ def _flash_bwd_kernel(
     ).astype(dv_ref.dtype)
 
 
+def _flash_bwd_kernel_v2(
+    q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, scale: float,
+):
+    """VPU-leaner variant of `_flash_bwd_kernel` (same math, reassociated).
+
+    The v1 kernel normalizes the probs (`p / l`) and applies `* scale` on the
+    full (block_q, N) tile — 2 wide VPU passes. Here the softmax 1/l and the
+    QK scale fold OUT of the wide tile into (block_q, D)-shaped operands
+    instead (the same trick the forward uses to normalize after the PV
+    matmul): dq picks up `scale/l` after its matmul, dk folds it into the
+    q rows, dv folds 1/l into the dO rows. Exact same gradients up to fp
+    reassociation; selected by WCTPU_ATTN_BWD_V2 for in-situ A/B
+    (scripts/ab_train.py) before any default change."""
+    j = pl.program_id(1)
+    q = q_ref[0]          # (bq, D)
+    k = k_ref[0]          # (N, D)
+    v = v_ref[0]          # (N, D)
+    o = o_ref[0].astype(jnp.float32)   # (bq, D)
+    do = do_ref[0].astype(jnp.float32)  # (bq, D)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, N) — identical recompute to the forward kernel
+    p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP))
+    linv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)  # (bq, 1)
+
+    dpn = jax.lax.dot_general(
+        do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    Dv = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
+    # m = l * ds / scale: the un-normalized, un-scaled softmax VJP core —
+    # the only (bq, N) elementwise work besides exp/clip/mask
+    m = p * (dpn - Dv)
+    m = jnp.where((s <= _CLAMP) & (s >= -_CLAMP), m, 0.0)
+    m_lp = m.astype(q.dtype)
+
+    dq = jax.lax.dot_general(
+        m_lp, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = (dq * (scale * linv)).astype(dq_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    qh = (q.astype(jnp.float32) * (scale * linv)).astype(q.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        m_lp, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+    doh = (do * linv).astype(do_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), doh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+
+def _bwd_v2() -> bool:
+    return os.environ.get("WCTPU_ATTN_BWD_V2", "0") == "1"
+
+
 def _flash_attention_bwd_impl(q, k, v, o, do, *, block_q: int, interpret: bool):
     b, h, n, d = q.shape
     bh = b * h
@@ -309,8 +376,9 @@ def _flash_attention_bwd_impl(q, k, v, o, do, *, block_q: int, interpret: bool):
     grid = (bh, n // block_q)
     qspec = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    kernel = _flash_bwd_kernel_v2 if _bwd_v2() else _flash_bwd_kernel
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_kernel, scale=scale),
+        functools.partial(kernel, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
             # dK/dV accumulate across q-blocks in f32 for exactness
@@ -382,9 +450,15 @@ def _fa_fwd(q, k, v):
 
 def _fa_bwd(res, g):
     q, k, v, o = res
+    bq = _pick_bwd_block(q.shape[2], q.shape[3])
+    # A/B-only override, same convention as WCTPU_ATTN_I8_BQ (scripts/
+    # ab_train.py sweeps the backward tile on the real train program)
+    bq_env = os.environ.get("WCTPU_ATTN_BWD_BQ")
+    if bq_env and q.shape[2] % int(bq_env) == 0:
+        bq = int(bq_env)
     return _flash_attention_bwd_impl(
         q, k, v, o, g.astype(q.dtype),
-        block_q=_pick_bwd_block(q.shape[2], q.shape[3]), interpret=not _on_tpu(),
+        block_q=bq, interpret=not _on_tpu(),
     )
 
 
