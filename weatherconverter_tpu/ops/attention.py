@@ -328,6 +328,10 @@ def _flash_bwd_kernel_v2(
     ) * scale  # (bq, N) — identical recompute to the forward kernel
     p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP))
     linv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)  # (bq, 1)
+    # Cast p for the dv matmul EARLY so the f32 p tile dies at `m` below —
+    # keeping it live to the end put the kernel 712 KB over the 16 MiB
+    # scoped-VMEM limit at the D=16 layers (measured, r7)
+    p_lp = p.astype(do_ref.dtype)
 
     dpn = jax.lax.dot_general(
         do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -358,7 +362,7 @@ def _flash_bwd_kernel_v2(
     ).astype(dk_ref.dtype)
     doh = (do * linv).astype(do_ref.dtype)
     dv_ref[0] += jax.lax.dot_general(
-        p.astype(do_ref.dtype), doh,
+        p_lp, doh,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
