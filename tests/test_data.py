@@ -378,3 +378,149 @@ def test_seg_dataset_rejects_char_explosion(tmp_path):
     Image.fromarray(np.zeros((8, 8), np.uint8)).save(gt / "f_gt_labelIds.png")
     ds = SegPairedDataset(str(tmp_path), weather="rain", resize_hw=(8, 8))
     assert len(ds) == 1
+
+
+# ---------------------------------------------------------------------------
+# ClassWiseMasking oracle: the actual reference transform, imported from
+# /root/reference (the test_compat.py pattern) — VERDICT r4 item 2.
+# ---------------------------------------------------------------------------
+
+
+def _ref_class_wise_masking():
+    """Load the reference transform from its file directly (the package
+    __init__ and the module header pull torchvision, absent here; the
+    ClassWiseMasking class itself only touches random/numpy/PIL, so stub
+    torchvision in sys.modules for the module exec)."""
+    import importlib.util
+    import sys
+    import types
+
+    stubs = {}
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional"):
+        if name not in sys.modules:
+            stubs[name] = types.ModuleType(name)
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_ext_transforms",
+            "/root/reference/seg_model/utils/ext_transforms.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+    return mod.ClassWiseMasking
+
+
+def _kept_train_ids_ref(cwm, img_np, lbl_raw):
+    """Run the reference transform once on raw-id planes; return the kept
+    train-id set (masked label pixels become raw 0 = 'unlabeled')."""
+    out_img, out_lbl = cwm(Image.fromarray(img_np), Image.fromarray(lbl_raw))
+    enc = encode_target(np.array(out_lbl))
+    keep = np.array(out_img).sum(axis=-1) > 0  # masked pixels are black
+    return frozenset(np.unique(enc[keep]).tolist()), np.array(out_img), enc
+
+
+def test_class_wise_masking_allowed_set_matches_reference():
+    """CLASSWISE_ALLOWED must be the train-id image of the reference's raw
+    allowed set (ext_transforms.py:71, masked before encode — acdc.py:157)."""
+    raw_allowed = {7, 11, 19, 20, 21, 22, 23, 24, 26, 27, 28, 32, 33}
+    expected = sorted(int(ID_TO_TRAIN_ID[r]) for r in raw_allowed)
+    assert expected == sorted(T.CLASSWISE_ALLOWED)
+    assert 255 not in expected  # every allowed raw id has a real train class
+
+
+def test_class_wise_masking_distribution_vs_reference_oracle():
+    """Same label map through the ACTUAL reference ClassWiseMasking (raw-id
+    space, then encoded) and through class_wise_masking (train-id space):
+    identical support of kept-class sets and matching uniform frequencies."""
+    import random
+
+    cwm = _ref_class_wise_masking()(p=1.0, num_classes_to_keep=2)
+    # quadrants: raw 7 (road->0), 11 (building->2), 26 (car->13), 21 (veg->8)
+    lbl_raw = np.zeros((16, 16), dtype=np.uint8)
+    lbl_raw[:8, :8], lbl_raw[:8, 8:], lbl_raw[8:, :8], lbl_raw[8:, 8:] = 7, 11, 26, 21
+    img_np = np.full((16, 16, 3), 200, dtype=np.uint8)
+
+    n = 480
+    ref_counts = {}
+    random.seed(1234)
+    for _ in range(n):
+        kept, out_img, enc = _kept_train_ids_ref(cwm, img_np, lbl_raw)
+        ref_counts[kept] = ref_counts.get(kept, 0) + 1
+        # masked pixels black + ignore, kept pixels untouched
+        keep = np.isin(enc, list(kept))
+        assert np.all(np.array(out_img)[~keep] == 0)
+        assert np.all(enc[~keep] == 255)
+
+    lbl_train = jnp.asarray(encode_target(lbl_raw).astype(np.int32))[None]
+    imgs = jnp.ones((n, 16, 16, 3))
+    out_img, out_lbl = T.class_wise_masking(
+        jax.random.PRNGKey(7),
+        jnp.tile(imgs[:, :1, :1], (1, 16, 16, 1)),
+        jnp.tile(lbl_train, (n, 1, 1)),
+        p=1.0,
+        num_classes_to_keep=2,
+    )
+    out_lbl = np.asarray(out_lbl)
+    out_img = np.asarray(out_img)
+    our_counts = {}
+    for i in range(n):
+        kept = frozenset(np.unique(out_lbl[i][out_lbl[i] != 255]).tolist())
+        our_counts[kept] = our_counts.get(kept, 0) + 1
+        keep = out_lbl[i] != 255
+        assert np.all(out_img[i][~keep] == 0)
+        assert np.all(out_img[i][keep] == 1)
+
+    # all four quadrant classes are allowed -> C(4,2)=6 equally likely pairs
+    support = {frozenset(s) for s in
+               [(0, 2), (0, 13), (0, 8), (2, 13), (2, 8), (13, 8)]}
+    assert set(ref_counts) == support
+    assert set(our_counts) == support
+    for pair in support:
+        assert abs(ref_counts[pair] / n - 1 / 6) < 0.08
+        assert abs(our_counts[pair] / n - 1 / 6) < 0.08
+
+
+def test_class_wise_masking_fallback_matches_reference_oracle():
+    """Fewer allowed classes than num_classes_to_keep -> the reference
+    samples from ALL present classes (ext_transforms.py:75-77). Scene: raw
+    7 (road->0, allowed), 8 (sidewalk->1), 12 (wall->3) — only one allowed,
+    k=2, and the raw->train mapping is 1:1 here so the distributions must
+    match exactly: each of the 3 pairs with prob 1/3."""
+    import random
+
+    cwm = _ref_class_wise_masking()(p=1.0, num_classes_to_keep=2)
+    lbl_raw = np.zeros((12, 12), dtype=np.uint8)
+    lbl_raw[:4], lbl_raw[4:8], lbl_raw[8:] = 7, 8, 12
+    img_np = np.full((12, 12, 3), 200, dtype=np.uint8)
+
+    n = 480
+    ref_counts = {}
+    random.seed(99)
+    for _ in range(n):
+        kept, _, _ = _kept_train_ids_ref(cwm, img_np, lbl_raw)
+        ref_counts[kept] = ref_counts.get(kept, 0) + 1
+
+    lbl_train = jnp.asarray(encode_target(lbl_raw).astype(np.int32))[None]
+    _, out_lbl = T.class_wise_masking(
+        jax.random.PRNGKey(11),
+        jnp.ones((n, 12, 12, 3)),
+        jnp.tile(lbl_train, (n, 1, 1)),
+        p=1.0,
+        num_classes_to_keep=2,
+    )
+    out_lbl = np.asarray(out_lbl)
+    our_counts = {}
+    for i in range(n):
+        kept = frozenset(np.unique(out_lbl[i][out_lbl[i] != 255]).tolist())
+        our_counts[kept] = our_counts.get(kept, 0) + 1
+
+    support = {frozenset(s) for s in [(0, 1), (0, 3), (1, 3)]}
+    assert set(ref_counts) == support
+    assert set(our_counts) == support
+    for pair in support:
+        assert abs(ref_counts[pair] / n - 1 / 3) < 0.09
+        assert abs(our_counts[pair] / n - 1 / 3) < 0.09

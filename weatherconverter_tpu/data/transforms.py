@@ -29,9 +29,23 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-# Classes the reference's ClassWiseMasking may keep (ext_transforms.py:71):
-# road, sidewalk, building, vegetation, sky, person, car, bus
-CLASSWISE_ALLOWED = (0, 1, 2, 8, 10, 11, 13, 15)
+# Classes the reference's ClassWiseMasking may keep. The reference masks in
+# RAW labelId space BEFORE encode_target (acdc.py:157-163), with allowed raw
+# ids {7,11,19,20,21,22,23,24,26,27,28,32,33} (ext_transforms.py:71). THIS
+# pipeline's labels are already train-ids at transform time (datasets encode
+# in __getitem__), so the set here is the train-id image of that raw set —
+# the mapping is 1:1 (each of these raw ids is the unique raw id of its
+# train class): road, building, traffic light, traffic sign, vegetation,
+# terrain, sky, person, car, truck, bus, motorcycle, bicycle.
+CLASSWISE_ALLOWED = (0, 2, 6, 7, 8, 9, 10, 11, 13, 14, 15, 17, 18)
+
+# Fallback candidate pool: when fewer than `num_classes_to_keep` allowed
+# classes are present, the reference samples from ALL classes present in the
+# label (ext_transforms.py:75-77). In train-id space that pool is every
+# train-id plus the 255 ignore bucket (all raw ids with trainId 255 collapse
+# into one candidate here — a documented divergence, see PARITY.md: the raw
+# pool weights 255 by its number of distinct raw ids present).
+_CLASSWISE_CANDIDATES = tuple(range(19)) + (255,)
 
 
 def to_float(x: jax.Array) -> jax.Array:
@@ -168,25 +182,41 @@ def class_wise_masking(
     ignore_index: int = 255,
 ):
     """ClassWiseMasking parity (ext_transforms.py:57-95): with prob p per
-    example, choose `num_classes_to_keep` classes from the allowed set that
-    are PRESENT in the label, black out all other pixels in the image and
-    set their labels to ignore_index."""
+    example, choose `num_classes_to_keep` uniformly (without replacement)
+    from the allowed classes PRESENT in the label — falling back to ALL
+    present classes when fewer than that many allowed ones are present
+    (ext_transforms.py:75-77) — then black out all other pixels in the image
+    and set their labels to ignore_index (the reference writes raw id 0
+    'unlabeled', which encode_target maps to 255; labels here are already
+    train-ids, so 255 directly — CLAUDE.md rule 5).
+
+    Divergence from the reference when the label holds fewer total classes
+    than `num_classes_to_keep`: random.sample raises ValueError there; this
+    keeps every present class instead (the surplus slots match no pixels).
+    """
     b = images.shape[0]
     kp, kc = jax.random.split(key)
-    allowed_arr = jnp.asarray(allowed, dtype=jnp.int32)  # (A,)
+    cand = jnp.asarray(_CLASSWISE_CANDIDATES, dtype=labels.dtype)  # (C,)
+    is_allowed = jnp.isin(cand, jnp.asarray(allowed, dtype=labels.dtype))  # (C,)
 
-    # presence (B, A): does class a appear in example b's label?
+    # presence (B, C): does candidate class c appear in example b's label?
     present = jnp.any(
-        labels[:, None, :, :] == allowed_arr[None, :, None, None], axis=(2, 3)
+        labels[:, None, :, :] == cand[None, :, None, None], axis=(2, 3)
     )
-    # only examples that contain at least one allowed class can be masked
-    # (the reference samples from the present-class list, ext_transforms.py:75)
-    apply = (jax.random.uniform(kp, (b,)) < p) & jnp.any(present, axis=1)
-    # Gumbel-top-k over present classes -> indices of kept classes
-    gumbel = -jnp.log(-jnp.log(jax.random.uniform(kc, (b, len(allowed)), minval=1e-6, maxval=1.0)))
-    scores = jnp.where(present, gumbel, -jnp.inf)
+    allowed_present = present & is_allowed[None, :]
+    fallback = jnp.sum(allowed_present, axis=1) < num_classes_to_keep  # (B,)
+    pool = jnp.where(fallback[:, None], present, allowed_present)
+    # the reference masks whenever random() < p regardless of which classes
+    # are present (the fallback covers the no-allowed-class case)
+    apply = jax.random.uniform(kp, (b,)) < p
+    # Gumbel-top-k over the pool = uniform sample without replacement
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(kc, (b, cand.shape[0]), minval=1e-6, maxval=1.0)))
+    scores = jnp.where(pool, gumbel, -jnp.inf)
     _, top_idx = jax.lax.top_k(scores, num_classes_to_keep)  # (B, K)
-    kept = allowed_arr[top_idx]  # (B, K)
+    # surplus -inf slots (pool smaller than K) resolve to ABSENT candidates:
+    # every present id is in the pool whenever fallback is active, so a
+    # tie-broken -inf pick can only name a class with zero pixels
+    kept = cand[top_idx]  # (B, K)
 
     keep_mask = jnp.any(
         labels[:, None, :, :] == kept[:, :, None, None], axis=1
