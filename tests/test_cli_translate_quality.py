@@ -363,3 +363,41 @@ def test_cli_quality_with_image_directory(tiny_cfg, tmp_path):
     assert np.isfinite(report["fid_original_vs_translated"])
     for k in ("miou_original", "miou_translated", "miou_consistency_gap"):
         assert np.isfinite(report[k])
+
+
+def test_cli_infer_seg_six_panel(tmp_path):
+    """`infer-seg --label` emits the reference's full debugging surface
+    (inference.py:155-200 visualize_samples): pred + gradient magnitude +
+    the 6-panel comparison strip (original, denormalized input, colorized
+    pred, gradient magnitude, encoded train-id plane, gt colorized) —
+    VERDICT r4 item 6. Panels are H x 6W x 3 uint8 in reference order."""
+    cfg = tmp_path / "seg.yaml"
+    cfg.write_text(
+        """
+model:
+  name: deeplabv3plus_resnet18
+  num_classes: 5
+  output_stride: 16
+data:
+  transform:
+    target_resolution: [32, 32]
+"""
+    )
+    rng = np.random.RandomState(0)
+    img = tmp_path / "in.png"
+    Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(img)
+    lbl = tmp_path / "gt.png"
+    Image.fromarray(rng.randint(0, 34, (40, 40), dtype=np.uint8)).save(lbl)
+    out = tmp_path / "seg_out"
+    rc = main([
+        "infer-seg", "--config", str(cfg), "--image", str(img),
+        "--label", str(lbl), "--out", str(out),
+    ])
+    assert rc == 0
+    for name in ("pred.png", "gradient_magnitude.png", "panels.png"):
+        assert (out / name).exists(), name
+    panels = np.asarray(Image.open(out / "panels.png"))
+    assert panels.shape == (32, 32 * 6, 3)
+    # panel 6 (gt colorized) must differ from panel 5 (raw id plane) — the
+    # strip is 6 distinct views, not one image tiled
+    assert not np.array_equal(panels[:, 4 * 32:5 * 32], panels[:, 5 * 32:])

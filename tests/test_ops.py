@@ -425,3 +425,59 @@ def test_narrow_out_conv_matches_plain_and_falls_back():
     ) + bias
     out2 = narrow_out_conv(x2, w, bias)  # ragged -> plain path
     np.testing.assert_allclose(out2, ref2, atol=1e-5, rtol=1e-5)
+
+
+def test_flash_attention_backward_v2_adversarial_magnitudes(monkeypatch):
+    """ADVICE r4: the v2 backward kernel (WCTPU_ATTN_BWD_V2) keeps the
+    UN-normalized probs p (up to e^60 ~ 1e26) and m = p*(dpn - Dv) in bf16
+    for its matmuls — a far larger dynamic range than v1's normalized
+    pn <= 1. Before any default promotion it must survive adversarially
+    large dO/V magnitudes: grads finite and matching the f32 reference VJP
+    (moderate scores) and matching v1 bit-for-tolerance when the scores sit
+    at the +-CLAMP rails."""
+    from weatherconverter_tpu.ops.attention import attention_reference, flash_attention
+
+    B, H, N, D = 1, 2, 256, 32
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(11), 4)
+
+    def grads(q, k, v, g):
+        return jax.vjp(flash_attention, q, k, v)[1](g)
+
+    # --- case A: moderate scores, dO/V at 1e3 (1e6 products in the softmax
+    # VJP core) — compare against the f32 reference autodiff
+    q = jax.random.normal(kq, (B, H, N, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, H, N, D), jnp.bfloat16)
+    v = (jax.random.normal(kv, (B, H, N, D)) * 1e3).astype(jnp.bfloat16)
+    g = (jax.random.normal(kg, (B, H, N, D)) * 1e3).astype(jnp.bfloat16)
+    monkeypatch.setenv("WCTPU_ATTN_BWD_V2", "1")
+    got = grads(q, k, v, g)
+    f32 = lambda t: t.astype(jnp.float32)
+    ref = jax.vjp(attention_reference, f32(q), f32(k), f32(v))[1](f32(g))
+    for a, r, name in zip(got, ref, "qkv"):
+        a = np.asarray(a, np.float32)
+        r = np.asarray(r, np.float32)
+        assert np.all(np.isfinite(a)), f"d{name} non-finite in v2 kernel"
+        scale = np.abs(r).max() + 1e-30
+        np.testing.assert_allclose(
+            a / scale, r / scale, atol=0.02,
+            err_msg=f"d{name} mismatch vs f32 reference (v2, large dO/V)",
+        )
+
+    # --- case B: scores driven onto the +-CLAMP rails (unnormalized p at
+    # its e^60 ceiling) AND large dO/V — v2 must agree with v1 (identical
+    # clamped-softmax semantics; the reference has no clamp so it is not
+    # the oracle here) and stay finite
+    q = (jax.random.normal(kq, (B, H, N, D)) * 8).astype(jnp.bfloat16)
+    k = (jax.random.normal(kk, (B, H, N, D)) * 8).astype(jnp.bfloat16)
+    got = grads(q, k, v, g)
+    monkeypatch.delenv("WCTPU_ATTN_BWD_V2")
+    base = grads(q, k, v, g)
+    for a, b, name in zip(got, base, "qkv"):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.all(np.isfinite(a)), f"d{name} non-finite in v2 kernel (rails)"
+        scale = np.abs(b).max() + 1e-30
+        np.testing.assert_allclose(
+            a / scale, b / scale, atol=0.02,
+            err_msg=f"d{name} v2-vs-v1 mismatch at the clamp rails",
+        )

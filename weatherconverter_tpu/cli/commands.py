@@ -488,7 +488,8 @@ def run_infer_seg(args) -> int:
 
     if args.label:
         lbl = Image.open(args.label).resize((hw[1], hw[0]), Image.NEAREST)
-        gt = jnp.asarray(encode_target(np.asarray(lbl, np.uint8)))[None]
+        enc = encode_target(np.asarray(lbl, np.uint8))
+        gt = jnp.asarray(enc)[None]
         seg_fn = lambda im: model.apply(variables, im)
         grads = seg_input_gradients(seg_fn, xn, gt)
         mag = gradient_magnitude(grads)
@@ -497,6 +498,29 @@ def run_infer_seg(args) -> int:
         Image.fromarray((m * 255).astype(np.uint8)).save(
             os.path.join(args.out, "gradient_magnitude.png")
         )
+        # Reference's full debugging surface: the 6-panel comparison strip
+        # (inference.py:155-200 visualize_samples — original image,
+        # denormalized input tensor, colorized predictions, gradient
+        # magnitude, encoded train-id label, gt colorized). One uint8 strip
+        # image instead of a matplotlib figure; same panels, same order.
+        pred_color = decode_target(np.asarray(pred[0]).astype(np.int32)).astype(np.uint8)
+        gt_color = decode_target(enc.astype(np.int32)).astype(np.uint8)
+        denorm = np.clip(np.asarray(x[0]), 0.0, 1.0)
+        panels = [
+            np.asarray(img, np.uint8),                    # original image
+            (denorm * 255).astype(np.uint8),              # input tensor, denormalized
+            pred_color,                                   # colorized predictions
+            np.repeat((m * 255).astype(np.uint8)[..., None], 3, -1),  # grad magnitude
+            # encoded train-id plane, scaled into visible range like
+            # matplotlib's auto-normed imshow of the raw id tensor
+            np.repeat(
+                (np.where(enc == 255, 0, enc) * (255 // max(cfg.model.num_classes - 1, 1)))
+                .astype(np.uint8)[..., None], 3, -1,
+            ),
+            gt_color,                                     # ground truth colorized
+        ]
+        strip = np.concatenate(panels, axis=1)
+        Image.fromarray(strip).save(os.path.join(args.out, "panels.png"))
     print(f"saved outputs under {args.out}")
     return 0
 

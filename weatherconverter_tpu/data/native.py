@@ -10,6 +10,7 @@ reference decodes synchronously in Python, dataloader.py:39-48, workers=0).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional, Sequence
@@ -24,6 +25,11 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _src_hash(src: str) -> str:
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
@@ -33,16 +39,29 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     so = os.path.join(_repo_root(), "native", "libwcdecode.so")
     src = os.path.join(_repo_root(), "native", "wcdecode.cpp")
-    stale = (
-        not os.path.exists(so)
-        or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so))
-    )
+    stamp = so + ".srchash"
+    # Staleness is content-based, not mtime-based: git does not preserve
+    # mtimes, so a fresh checkout routinely leaves the source "newer" than
+    # the tracked .so and an mtime check would make -B on first import
+    # (~2 min latency, dirties the checked-in binary — ADVICE r4). Rebuild
+    # when the .so is missing, when the stored source hash mismatches, or on
+    # explicit opt-in (WCTPU_NATIVE_REBUILD=1). A stale binary without a
+    # stamp is still caught loudly-but-safely by the ABI version check.
+    stale = not os.path.exists(so)
+    if not stale and os.environ.get("WCTPU_NATIVE_REBUILD") == "1":
+        stale = True
+    elif not stale and os.path.exists(stamp) and os.path.exists(src):
+        with open(stamp) as f:
+            stale = f.read().strip() != _src_hash(src)
     if stale:
         try:
             subprocess.run(
                 ["make", "-C", os.path.dirname(so), "-B"],
                 check=True, capture_output=True, timeout=120,
             )
+            if os.path.exists(src):
+                with open(stamp, "w") as f:
+                    f.write(_src_hash(src) + "\n")
         except Exception:
             if not os.path.exists(so):
                 return None  # no .so at all; else fall through to the

@@ -165,6 +165,14 @@ def present_class_ids(
     Returns (B, k) int32. Cheap (one bincount); shape is static, so it runs
     once per translation OUTSIDE the sampling scan (gt is fixed per image).
     """
+    # Loud range check at the single choke point (ADVICE r4): k=0 would
+    # silently disable LCG entirely and k<0 slices argsort to
+    # num_classes+k slots — both reachable from the serve/bench int flags,
+    # which (unlike CLI translate) did not range-check.
+    if not (1 <= int(k) <= num_classes):
+        raise ValueError(
+            f"lcg_present_k out of range 1..{num_classes}: {k}"
+        )
     flat = gt.reshape(gt.shape[0], -1)
     # 255-ignore (and any id >= num_classes) lands in the overflow bucket
     counts = jax.vmap(

@@ -372,6 +372,26 @@ def _bwd_v2() -> bool:
     return os.environ.get("WCTPU_ATTN_BWD_V2", "0") == "1"
 
 
+def _env_block_override(name: str, n: int) -> int | None:
+    """Tolerantly parse an A/B-only block-size override env var.
+
+    These knobs (WCTPU_ATTN_BWD_BQ / WCTPU_ATTN_I8_BQ) exist solely for the
+    fresh-process A/B harnesses (scripts/ab_train.py, scripts/ab_translate.py)
+    and are trace-time reads — a leaked value silently changes the compiled
+    program, so a malformed one must never crash or half-apply: non-numeric,
+    <= 0, or non-dividing values are ignored (ADVICE r4)."""
+    raw = os.environ.get(name)
+    if not raw:
+        return None
+    try:
+        bq = int(raw)
+    except ValueError:
+        return None
+    if bq <= 0 or n % bq != 0:
+        return None
+    return bq
+
+
 def _flash_attention_bwd_impl(q, k, v, o, do, *, block_q: int, interpret: bool):
     b, h, n, d = q.shape
     bh = b * h
@@ -457,9 +477,7 @@ def _fa_bwd(res, g):
     bq = _pick_bwd_block(q.shape[2], q.shape[3])
     # A/B-only override, same convention as WCTPU_ATTN_I8_BQ (scripts/
     # ab_train.py sweeps the backward tile on the real train program)
-    bq_env = os.environ.get("WCTPU_ATTN_BWD_BQ")
-    if bq_env and q.shape[2] % int(bq_env) == 0:
-        bq = int(bq_env)
+    bq = _env_block_override("WCTPU_ATTN_BWD_BQ", q.shape[2]) or bq
     return _flash_attention_bwd_impl(
         q, k, v, o, g.astype(q.dtype),
         block_q=bq, interpret=not _on_tpu(),
@@ -495,9 +513,7 @@ def multi_head_attention(
         # block_q swept in situ for the i8 kernel specifically (PROFILE.md
         # r4): 512 (the bf16 optimum) stands; WCTPU_ATTN_I8_BQ for A/B.
         bq, _ = _pick_blocks(n, d)
-        bq_env = os.environ.get("WCTPU_ATTN_I8_BQ")
-        if bq_env and n % int(bq_env) == 0:
-            bq = int(bq_env)
+        bq = _env_block_override("WCTPU_ATTN_I8_BQ", n) or bq
         return _flash_attention_fwd_i8_impl(
             q, k, v, block_q=bq, interpret=not _on_tpu(), pv_int8=_pv_int8()
         )
