@@ -135,13 +135,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ddim / dpm = few-step fast translation for serving "
                          "latency (dpm = 2nd-order DPM-Solver++(2M), ~20 steps)")
     sv.add_argument("--max-wait-ms", type=float, default=25.0)
-    sv.add_argument("--lcg-present-k", type=int, default=None,
-                    help="static LCG class-slot count for the compiled "
-                         "serving program (bit-exact for labels with <= K "
-                         "classes, truncates to the K largest otherwise; "
-                         "default: full sweep). The CLI translate command's "
-                         "'auto' has no serving analog — one program serves "
-                         "every request")
+    sv.add_argument("--lcg-present-k", default=None,
+                    help="LCG class-slot count for the compiled serving "
+                         "program: an int = ONE static K (bit-exact for "
+                         "labels with <= K classes, truncates otherwise); "
+                         "'auto' = bucketed covering-K — each request routes "
+                         "to the smallest compiled K bucket covering its "
+                         "label's class count (always bit-exact, mixed-scene "
+                         "batches stop paying max-K); default: full sweep")
+    sv.add_argument("--lcg-k-buckets", default="4,8,12",
+                    help="compiled K ladder for --lcg-present-k auto "
+                         "(num_classes is always appended as the top bucket)")
     sv.add_argument("--ddpm-checkpoint", default=None)
     sv.add_argument("--seg-checkpoint", default=None)
     sv.add_argument("--srgan-checkpoint", default=None)
@@ -279,10 +283,24 @@ def main(argv=None) -> int:
 
         _enable_int8_attn_inference(args)
         cfg = load_translation_config(args.config)
+        k = args.lcg_present_k
+        if k is not None and k != "auto":
+            try:
+                k = int(k)
+            except ValueError:
+                raise SystemExit(
+                    f"--lcg-present-k must be an int or 'auto'; got {k!r}"
+                )
+        try:
+            buckets = tuple(int(b) for b in str(args.lcg_k_buckets).split(",") if b)
+        except ValueError:
+            raise SystemExit(
+                f"--lcg-k-buckets must be comma-separated ints; got {args.lcg_k_buckets!r}"
+            )
         service = TranslationService(
             cfg, args.ddpm_checkpoint, args.seg_checkpoint, args.srgan_checkpoint,
             batch=args.batch, steps=args.steps, max_wait_ms=args.max_wait_ms,
-            sampler=args.sampler, lcg_present_k=args.lcg_present_k,
+            sampler=args.sampler, lcg_present_k=k, lcg_k_buckets=buckets,
         )
         print(
             f"serving on :{args.port} (batch={args.batch}, "

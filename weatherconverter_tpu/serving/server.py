@@ -66,13 +66,23 @@ class TranslationService:
         steps: Optional[int] = None,
         max_wait_ms: float = 25.0,
         sampler: str = "ddpm",
-        lcg_present_k: Optional[int] = None,
+        lcg_present_k=None,
+        lcg_k_buckets: tuple = (4, 8, 12),
     ):
-        # lcg_present_k: pack LCG's class sweep into K static slots (the
-        # serving program compiles ONCE, so per-request 'auto' would
-        # retrace; pick K >= the max class count you expect per scene —
-        # bit-exact whenever a request's label has <= K classes, truncates
-        # to the K largest otherwise; guidance/sgg.present_class_ids).
+        # lcg_present_k: pack LCG's class sweep into K static slots
+        # (guidance/sgg.present_class_ids — bit-exact whenever a request's
+        # label has <= K classes, truncates to the K largest otherwise).
+        #   int  -> ONE static K for every request (one compiled program).
+        #   "auto" -> BUCKETED covering-K: each request's class count is
+        #        measured host-side and the request routed to the smallest
+        #        compiled K bucket (`lcg_k_buckets`, plus num_classes as the
+        #        always-covering top bucket) that covers it, so a production
+        #        batch mixing 6- and 14-class scenes no longer pays the
+        #        max-K program for every image (VERDICT r4 item 3). Always
+        #        covering => bit-exact per image vs the full 19-class sweep
+        #        (reference's loop, sgg/sgg.py:39). Micro-batches group by
+        #        bucket, same pattern as sample's per-steps grouping below.
+        #   None -> the unpacked full sweep.
         import jax
         import jax.numpy as jnp
 
@@ -161,7 +171,24 @@ class TranslationService:
             # 2nd-order solver: 20 steps reach what DDIM needs 2-5x for
             translate_steps = self.steps = 20
 
-        def _translate_many(dp, sv, gv, imgs, gts, keys):
+        if isinstance(lcg_present_k, str) and lcg_present_k != "auto":
+            raise ValueError(
+                f"lcg_present_k must be an int, 'auto', or None; got {lcg_present_k!r}"
+            )
+        if isinstance(lcg_present_k, int) and not (1 <= lcg_present_k <= num_classes):
+            # fail at service construction, not inside the first traced batch
+            raise ValueError(
+                f"lcg_present_k out of range 1..{num_classes}: {lcg_present_k}"
+            )
+        self._lcg_auto = lcg_present_k == "auto"
+        # ascending compiled-K ladder; num_classes tops it so every scene is
+        # covered (covered => bit-exact, sgg.present_class_ids docstring)
+        self._k_buckets = tuple(sorted(
+            {int(b) for b in lcg_k_buckets if 1 <= int(b) < num_classes}
+            | {num_classes}
+        ))
+
+        def _translate_many(dp, sv, gv, imgs, gts, keys, present_k):
             def one(im, g, k):
                 if sampler == "dpm":
                     return sample_with_sgg_dpm(
@@ -172,7 +199,7 @@ class TranslationService:
                         im[None], g[None], k,
                         lam=lam, num_steps=translate_steps, span_t=ddim_span,
                         num_classes=num_classes, mode=mode,
-                        lcg_present_k=lcg_present_k,
+                        lcg_present_k=present_k,
                     )[0]
                 if sampler == "ddim":
                     return sample_with_sgg_ddim(
@@ -183,7 +210,7 @@ class TranslationService:
                         im[None], g[None], k,
                         lam=lam, num_steps=translate_steps, span_t=ddim_span,
                         num_classes=num_classes, mode=mode,
-                        lcg_present_k=lcg_present_k,
+                        lcg_present_k=present_k,
                     )[0]
                 return sample_with_sgg(
                     lambda x, t: unet.apply({"params": dp}, x, t),
@@ -193,31 +220,65 @@ class TranslationService:
                     im[None], g[None], k,
                     lam=lam, num_steps=translate_steps,
                     num_classes=num_classes, mode=mode,
-                    lcg_present_k=lcg_present_k,
+                    lcg_present_k=present_k,
                 )[0]
 
             return jax.vmap(one)(imgs, gts, keys)
 
-        # jitted ONCE (params as arguments, reused across all batches)
-        self._translate_jit = jax.jit(_translate_many)
+        # jitted ONCE per (present_k, width) pair — present_k is a STATIC
+        # argument (it sets the packed slot count, a shape), so the static-K
+        # and None modes still compile exactly one program
+        self._translate_jit = jax.jit(_translate_many, static_argnums=(6,))
         self._model_args = (uparams, seg_vars, gvars)
 
-        def translate_batch(items):
-            # items: list of (image01 (H,W,3) np, labelids (HR,HR) np, seed)
-            n = len(items)
-            imgs = np.zeros((self.batch, self.size, self.size, 3), np.float32)
-            gts = np.zeros((self.batch, self.hr, self.hr), np.int32)
-            seeds = [0] * self.batch
-            for i, (im, lb, seed) in enumerate(items):
+        def _n_present(gt: np.ndarray) -> int:
+            ids = np.unique(gt)
+            return max(1, int(np.sum(ids < num_classes)))
+
+        def _bucket_for(n: int) -> int:
+            for b in self._k_buckets:
+                if n <= b:
+                    return b
+            return num_classes
+
+        self.bucket_counts: dict = {}
+
+        def _run_group(members, present_k, width=None):
+            # members: list of (orig_idx, (image01, labelids, seed)); one
+            # device program at power-of-two width (bounded compile variants,
+            # same trick as sample_batch below)
+            if width is None:
+                width = min(self.batch, 1 << (len(members) - 1).bit_length())
+            imgs = np.zeros((width, self.size, self.size, 3), np.float32)
+            gts = np.zeros((width, self.hr, self.hr), np.int32)
+            seeds = [0] * width
+            for i, (_, (im, lb, seed)) in enumerate(members):
                 imgs[i] = im * 2.0 - 1.0
                 gts[i] = lb
                 seeds[i] = int(seed)
             keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
             out = np.asarray(
                 self._translate_jit(*self._model_args, jnp.asarray(imgs),
-                                    jnp.asarray(gts), keys)
+                                    jnp.asarray(gts), keys, present_k)
             )
-            return [out[i] for i in range(n)]
+            return [out[i] for i in range(len(members))]
+
+        def translate_batch(items):
+            # items: list of (image01 (H,W,3) np, labelids (HR,HR) np, seed)
+            if not self._lcg_auto:
+                # fixed mode keeps the full compiled batch width (ONE program)
+                return _run_group(list(enumerate(items)), lcg_present_k,
+                                  width=self.batch)
+            outputs = [None] * len(items)
+            groups: dict = {}
+            for idx, it in enumerate(items):
+                b = _bucket_for(_n_present(it[1]))
+                groups.setdefault(b, []).append((idx, it))
+            for b, members in groups.items():
+                self.bucket_counts[b] = self.bucket_counts.get(b, 0) + len(members)
+                for (idx, _), o in zip(members, _run_group(members, b)):
+                    outputs[idx] = o
+            return outputs
 
         self._translate_batcher = MicroBatcher(
             translate_batch, max_batch=batch, max_wait_ms=max_wait_ms
@@ -289,8 +350,12 @@ class TranslationService:
                 "mean_occupancy": b.stats["batch_occupancy_sum"] / n,
             }
 
-        return {"translate": fmt(self._translate_batcher),
-                "sample": fmt(self._sample_batcher)}
+        out = {"translate": fmt(self._translate_batcher),
+               "sample": fmt(self._sample_batcher)}
+        if self._lcg_auto:
+            # per-bucket request counts (string keys for JSON)
+            out["lcg_k_buckets"] = {str(k): v for k, v in sorted(self.bucket_counts.items())}
+        return out
 
     def close(self) -> None:
         self._translate_batcher.close()

@@ -157,37 +157,53 @@ def train(
     # continue step numbering across resume (metrics alignment; the seg loop
     # already did this)
     global_step = int(jax.device_get(state.step))
-    for epoch in range(int(state.epoch), tr.epochs):
-        # exact epoch mean WITHOUT per-batch host syncs: accumulate on
-        # device (losses share one sharding), read back once per epoch
-        epoch_loss_dev, nb, t0 = None, 0, time.time()
-        for batch in loader:
-            tkey, sub = jax.random.split(tkey)
-            b = shard_batch(mesh, batch) if mesh is not None else jnp.asarray(batch)
-            skey = replicate(mesh, sub) if mesh is not None else sub
-            state, loss = step_fn(state, b, skey)
-            epoch_loss_dev = loss if epoch_loss_dev is None else epoch_loss_dev + loss
-            global_step += 1
-            nb += 1
-            if global_step % tr.log_interval == 0:
-                lv = float(loss)  # device sync only at log interval
-                logger.log({"train/loss": lv, "epoch": epoch}, step=global_step)
-            if max_steps is not None and global_step >= max_steps:
-                logger.finish()
-                return state
-        dt = time.time() - t0
-        logger.log(
-            {
-                "epoch": epoch,
-                "epoch/loss": float(epoch_loss_dev) / nb if nb else 0.0,
-                "epoch/sec": dt,
-                "epoch/img_per_sec": nb * global_batch / max(dt, 1e-9),
-            },
-            step=global_step,
-        )
-        state = state.replace(epoch=epoch + 1)
-        if (epoch + 1) % tr.save_interval == 0:
-            ckpt.save(epoch + 1, jax.device_get(state))
+    from weatherconverter_tpu.core.preempt import PreemptionGuard, preempt_save_index
+
+    with PreemptionGuard() as guard:
+        for epoch in range(int(state.epoch), tr.epochs):
+            # exact epoch mean WITHOUT per-batch host syncs: accumulate on
+            # device (losses share one sharding), read back once per epoch
+            epoch_loss_dev, nb, t0 = None, 0, time.time()
+            for batch in loader:
+                tkey, sub = jax.random.split(tkey)
+                b = shard_batch(mesh, batch) if mesh is not None else jnp.asarray(batch)
+                skey = replicate(mesh, sub) if mesh is not None else sub
+                state, loss = step_fn(state, b, skey)
+                epoch_loss_dev = loss if epoch_loss_dev is None else epoch_loss_dev + loss
+                global_step += 1
+                nb += 1
+                if global_step % tr.log_interval == 0:
+                    lv = float(loss)  # device sync only at log interval
+                    logger.log({"train/loss": lv, "epoch": epoch}, step=global_step)
+                if guard.triggered:
+                    # SIGTERM mid-epoch: flush the post-step state through the
+                    # normal checkpoint path and exit cleanly; state.epoch is
+                    # still `epoch`, so resume restarts this epoch
+                    idx = preempt_save_index(ckpt, global_step)
+                    ckpt.save(idx, jax.device_get(state))
+                    ckpt.wait()
+                    logger.print(
+                        f"preempted (signal {guard.received}): checkpoint "
+                        f"flushed at step {global_step} (epoch {epoch}), exiting"
+                    )
+                    logger.finish()
+                    return state
+                if max_steps is not None and global_step >= max_steps:
+                    logger.finish()
+                    return state
+            dt = time.time() - t0
+            logger.log(
+                {
+                    "epoch": epoch,
+                    "epoch/loss": float(epoch_loss_dev) / nb if nb else 0.0,
+                    "epoch/sec": dt,
+                    "epoch/img_per_sec": nb * global_batch / max(dt, 1e-9),
+                },
+                step=global_step,
+            )
+            state = state.replace(epoch=epoch + 1)
+            if (epoch + 1) % tr.save_interval == 0:
+                ckpt.save(epoch + 1, jax.device_get(state))
     ckpt.wait()
     logger.finish()
     return state

@@ -239,37 +239,52 @@ def train(cfg: SegConfig, max_steps: Optional[int] = None, datasets=None) -> Seg
 
     tkey = keys["train"]
     global_step = int(state.step) if hasattr(state, "step") else 0
-    for epoch in range(start_epoch, tr.epochs):
-        t0 = time.time()
-        for images_u8, labels in loader:
-            tkey, sub = jax.random.split(tkey)
-            if mesh is not None:
-                images_u8, labels = shard_batch(mesh, (images_u8, labels))
-                sub_in = replicate(mesh, sub)
-            else:
-                images_u8, labels = jnp.asarray(images_u8), jnp.asarray(labels)
-                sub_in = sub
-            state, loss, ig = step_fn(state, images_u8, labels, sub_in)
-            global_step += 1
-            if global_step % tr.log_interval == 0:
-                logger.log(
-                    {"train/loss": float(loss), "train/input_grad": float(ig), "epoch": epoch},
-                    step=global_step,
-                )
-            if max_steps is not None and global_step >= max_steps:
-                logger.finish()
-                return state
-        results = validate(cfg, model_eval, state, val_loader, mesh=mesh, val_fns=val_fns)
-        logger.log(
-            {
-                "val/mIoU": results["Mean IoU"],
-                "val/OverallAcc": results["Overall Acc"],
-                "epoch": epoch,
-                "epoch/sec": time.time() - t0,
-            },
-            step=global_step,
-        )
-        ckpt.save(epoch + 1, jax.device_get(state), metrics={"Mean IoU": results["Mean IoU"]})
+    from weatherconverter_tpu.core.preempt import PreemptionGuard, preempt_save_index
+
+    with PreemptionGuard() as guard:
+        for epoch in range(start_epoch, tr.epochs):
+            t0 = time.time()
+            for images_u8, labels in loader:
+                tkey, sub = jax.random.split(tkey)
+                if mesh is not None:
+                    images_u8, labels = shard_batch(mesh, (images_u8, labels))
+                    sub_in = replicate(mesh, sub)
+                else:
+                    images_u8, labels = jnp.asarray(images_u8), jnp.asarray(labels)
+                    sub_in = sub
+                state, loss, ig = step_fn(state, images_u8, labels, sub_in)
+                global_step += 1
+                if global_step % tr.log_interval == 0:
+                    logger.log(
+                        {"train/loss": float(loss), "train/input_grad": float(ig), "epoch": epoch},
+                        step=global_step,
+                    )
+                if guard.triggered:
+                    # SIGTERM mid-epoch: flush post-step state, exit cleanly
+                    # (core/preempt.py); resume restarts this epoch
+                    idx = preempt_save_index(ckpt, global_step)
+                    ckpt.save(idx, jax.device_get(state))
+                    ckpt.wait()
+                    logger.print(
+                        f"preempted (signal {guard.received}): checkpoint "
+                        f"flushed at step {global_step} (epoch {epoch}), exiting"
+                    )
+                    logger.finish()
+                    return state
+                if max_steps is not None and global_step >= max_steps:
+                    logger.finish()
+                    return state
+            results = validate(cfg, model_eval, state, val_loader, mesh=mesh, val_fns=val_fns)
+            logger.log(
+                {
+                    "val/mIoU": results["Mean IoU"],
+                    "val/OverallAcc": results["Overall Acc"],
+                    "epoch": epoch,
+                    "epoch/sec": time.time() - t0,
+                },
+                step=global_step,
+            )
+            ckpt.save(epoch + 1, jax.device_get(state), metrics={"Mean IoU": results["Mean IoU"]})
     ckpt.wait()
     logger.finish()
     return state
