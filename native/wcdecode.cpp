@@ -26,6 +26,7 @@
 #include <vector>
 
 #include <jpeglib.h>
+#include <libdeflate.h>
 #include <png.h>
 
 namespace {
@@ -96,6 +97,162 @@ bool decode_jpeg(FILE* f, ImageU8* out, int req_min_side, int req_h, int req_w) 
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// Fast PNG path (VERDICT r4 item 4): PNG is the ACDC/Cityscapes distribution
+// format and the measured slow lane of the host feed (20.8 img/s/core vs
+// 158.9 fast-JPEG, outputs/host_feed_r06.json). libpng's cost is dominated
+// by zlib's streaming inflate; this path parses the chunk layout directly,
+// inflates ALL IDAT data in one whole-buffer libdeflate call (~2-3x zlib),
+// and unfilters with a tight scalar loop. Covers the common web of
+// non-interlaced 8-bit images (gray / RGB / palette / +alpha, the ACDC and
+// gt-label formats); anything else falls back to the bit-exact libpng path
+// below. Output is BIT-IDENTICAL to the libpng path for covered files
+// (integer unfilter + the same palette/gray expansion and alpha strip).
+// ---------------------------------------------------------------------------
+
+inline uint8_t paeth_predict(int a, int b, int c) {
+  const int p = a + b - c;
+  const int pa = p > a ? p - a : a - p;
+  const int pb = p > b ? p - b : b - p;
+  const int pc = p > c ? p - c : c - p;
+  return static_cast<uint8_t>((pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c));
+}
+
+bool decode_png_fast(FILE* f, ImageU8* out) {
+  fseek(f, 0, SEEK_END);
+  const long fsz = ftell(f);
+  rewind(f);
+  if (fsz <= 8) return false;
+  std::vector<uint8_t> buf(static_cast<size_t>(fsz));
+  if (fread(buf.data(), 1, buf.size(), f) != buf.size()) return false;
+  const auto be32 = [&](size_t p) {
+    return (static_cast<uint32_t>(buf[p]) << 24) |
+           (static_cast<uint32_t>(buf[p + 1]) << 16) |
+           (static_cast<uint32_t>(buf[p + 2]) << 8) | buf[p + 3];
+  };
+  uint32_t w = 0, h = 0;
+  int color = -1;
+  bool ihdr = false, iend = false;
+  std::vector<uint8_t> idat, plte;
+  idat.reserve(buf.size());
+  size_t pos = 8;  // signature checked by decode_file
+  while (pos + 12 <= buf.size()) {
+    const uint32_t len = be32(pos);
+    if (len > buf.size() || pos + 12 + len > buf.size()) return false;
+    const uint8_t* data = &buf[pos + 8];
+    const char* type = reinterpret_cast<const char*>(&buf[pos + 4]);
+    if (!std::memcmp(type, "IHDR", 4)) {
+      if (len < 13) return false;
+      w = be32(pos + 8);
+      h = be32(pos + 12);
+      const int bit_depth = data[8], interlace = data[12];
+      color = data[9];
+      ihdr = true;
+      if (interlace != 0 || bit_depth != 8) return false;  // libpng fallback
+      if (color != 0 && color != 2 && color != 3 && color != 4 && color != 6)
+        return false;
+      if (w == 0 || h == 0 || w > (1u << 24) || h > (1u << 24)) return false;
+    } else if (!std::memcmp(type, "PLTE", 4)) {
+      plte.assign(data, data + len);
+    } else if (!std::memcmp(type, "IDAT", 4)) {
+      idat.insert(idat.end(), data, data + len);
+    } else if (!std::memcmp(type, "IEND", 4)) {
+      iend = true;
+      break;
+    }
+    pos += 12 + static_cast<size_t>(len);
+  }
+  if (!ihdr || !iend || idat.empty()) return false;
+  if (color == 3 && plte.size() < 3) return false;
+
+  const int ch = color == 2 ? 3 : color == 6 ? 4 : color == 4 ? 2 : 1;
+  const size_t stride = static_cast<size_t>(w) * ch;
+  const size_t raw_size = (stride + 1) * h;
+  std::vector<uint8_t> raw(raw_size);
+  libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  if (!d) return false;
+  size_t actual = 0;
+  const auto rc = libdeflate_zlib_decompress(d, idat.data(), idat.size(),
+                                             raw.data(), raw_size, &actual);
+  libdeflate_free_decompressor(d);
+  if (rc != LIBDEFLATE_SUCCESS || actual != raw_size) return false;
+
+  // unfilter in place: each reconstructed row becomes the next row's `prev`
+  for (uint32_t y = 0; y < h; ++y) {
+    uint8_t* row = raw.data() + static_cast<size_t>(y) * (stride + 1);
+    const int filter = row[0];
+    uint8_t* cur = row + 1;
+    const uint8_t* prev =
+        y ? raw.data() + static_cast<size_t>(y - 1) * (stride + 1) + 1 : nullptr;
+    switch (filter) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (size_t i = ch; i < stride; ++i) cur[i] += cur[i - ch];
+        break;
+      case 2:  // Up
+        if (prev)
+          for (size_t i = 0; i < stride; ++i) cur[i] += prev[i];
+        break;
+      case 3:  // Average
+        if (prev) {
+          for (int i = 0; i < ch; ++i) cur[i] += prev[i] >> 1;
+          for (size_t i = ch; i < stride; ++i)
+            cur[i] += static_cast<uint8_t>((cur[i - ch] + prev[i]) >> 1);
+        } else {
+          for (size_t i = ch; i < stride; ++i) cur[i] += cur[i - ch] >> 1;
+        }
+        break;
+      case 4:  // Paeth
+        if (prev) {
+          for (int i = 0; i < ch; ++i) cur[i] += prev[i];  // a=c=0 -> b
+          for (size_t i = ch; i < stride; ++i)
+            cur[i] += paeth_predict(cur[i - ch], prev[i], prev[i - ch]);
+        } else {
+          for (size_t i = ch; i < stride; ++i) cur[i] += cur[i - ch];  // b=c=0 -> a
+        }
+        break;
+      default:
+        return false;
+    }
+  }
+
+  // channel conversion to RGB8 (same normalization set as the libpng path:
+  // palette expand, gray replicate, alpha stripped)
+  out->h = static_cast<int>(h);
+  out->w = static_cast<int>(w);
+  out->rgb.resize(static_cast<size_t>(h) * w * 3);
+  const size_t npal = plte.size() / 3;
+  for (uint32_t y = 0; y < h; ++y) {
+    const uint8_t* src = raw.data() + static_cast<size_t>(y) * (stride + 1) + 1;
+    uint8_t* dst = out->rgb.data() + static_cast<size_t>(y) * w * 3;
+    switch (color) {
+      case 2:
+        std::memcpy(dst, src, stride);
+        break;
+      case 6:
+        for (uint32_t x = 0; x < w; ++x) std::memcpy(dst + x * 3, src + x * 4, 3);
+        break;
+      case 0:
+        for (uint32_t x = 0; x < w; ++x)
+          dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = src[x];
+        break;
+      case 4:
+        for (uint32_t x = 0; x < w; ++x)
+          dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = src[x * 2];
+        break;
+      case 3:
+        for (uint32_t x = 0; x < w; ++x) {
+          const size_t idx = src[x];
+          if (idx >= npal) return false;
+          std::memcpy(dst + x * 3, plte.data() + idx * 3, 3);
+        }
+        break;
+    }
+  }
+  return true;
+}
+
 bool decode_png(FILE* f, ImageU8* out) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return false;
@@ -148,7 +305,11 @@ bool decode_file(const char* path, ImageU8* out, int req_min_side = 0,
   if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8 && magic[2] == 0xFF) {
     ok = decode_jpeg(f, out, req_min_side, req_h, req_w);
   } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-    ok = decode_png(f, out);
+    ok = decode_png_fast(f, out);
+    if (!ok) {
+      rewind(f);
+      ok = decode_png(f, out);  // interlaced/16-bit/exotic: libpng fallback
+    }
   }
   fclose(f);
   return ok;

@@ -102,3 +102,66 @@ def test_fast_dct_decode(images, tmp_path):
     # batch fast path agrees with the single-item fast path
     b = native.decode_box_batch([jp, jp], 64, (64, 64), fast=True)
     np.testing.assert_array_equal(b[0], fast.astype(np.uint8))
+
+
+def test_png_fast_path_format_matrix(tmp_path):
+    """The libdeflate fast-PNG path (wcdecode.cpp decode_png_fast) must be
+    bit-identical to PIL's RGB view for every covered 8-bit color type, and
+    formats it rejects (interlaced, 16-bit) must come back through the
+    libpng fallback with identical pixels. decode_exact at the source size
+    is an identity resize (single-tap triangle, weight 1.0), so this
+    compares raw decode output."""
+    rng = np.random.RandomState(7)
+    h, w = 41, 59  # odd sizes exercise filter/stride edges
+
+    def check(img: Image.Image, name: str):
+        p = str(tmp_path / name)
+        img.save(p)
+        got = native.decode_exact(p, (img.height, img.width))
+        assert got is not None, name
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(got, ref, err_msg=name)
+
+    rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    check(Image.fromarray(rgb), "rgb.png")                          # color 2
+    check(Image.fromarray(gray, "L"), "gray.png")                   # color 0
+    check(Image.fromarray(rgb).convert("P", palette=Image.ADAPTIVE), "pal.png")  # color 3
+    rgba = np.concatenate([rgb, gray[..., None]], -1)
+    check(Image.fromarray(rgba, "RGBA"), "rgba.png")                # color 6
+    la = np.stack([gray, gray[::-1]], -1)
+    check(Image.fromarray(la, "LA"), "la.png")                      # color 4
+
+    # smooth gradient picks up Sub/Up/Average/Paeth filters (random data
+    # mostly encodes as filter 0); still must be bit-exact
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([yy * 3 % 256, xx * 5 % 256, (yy + xx) % 256], -1).astype(np.uint8)
+    check(Image.fromarray(smooth), "smooth.png")
+
+    # interlaced: fast path refuses -> libpng fallback, same pixels as the
+    # non-interlaced encode of the same array
+    pi = str(tmp_path / "interlaced.png")
+    Image.fromarray(smooth).save(pi, interlace=True)
+    got_i = native.decode_exact(pi, (h, w))
+    assert got_i is not None
+    np.testing.assert_array_equal(got_i, smooth)
+
+    # 16-bit: fast path refuses -> libpng fallback (strip-16 high byte)
+    import struct, zlib
+    raw16 = b"".join(
+        b"\x00" + np.repeat(smooth[y].astype(">u2") * 257, 1).tobytes()
+        for y in range(h)
+    )
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+    p16 = tmp_path / "deep.png"
+    p16.write_bytes(
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw16))
+        + chunk(b"IEND", b"")
+    )
+    got16 = native.decode_exact(str(p16), (h, w))
+    assert got16 is not None
+    np.testing.assert_array_equal(got16, smooth)
