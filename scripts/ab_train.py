@@ -12,6 +12,13 @@ the sweep below still launches one process per variant for uniformity.
 Usage: [WCTPU_*=...] python scripts/ab_train.py [K] [B] [label]
 Prints: one line `label  ms/step  img/s/chip`.
 
+NOTE (round 8): this harness builds its own jit from the raw step pieces,
+so its env-free "base" is the PRE-profile program (v1 kernel, bq=128,
+16 MiB scoped VMEM). The SHIPPED default (training.diffusion.make_train_step)
+now compiles under the raised 32 MiB profile with the v2@bq256 backward —
+reproduce it here with WCTPU_ATTN_BWD_V2=1 WCTPU_ATTN_BWD_BQ=256
+WCTPU_SCOPED_VMEM_KIB=32768 (the round-8 sweep winner, 54.2-54.3 ms/step).
+
 Attribution modes (WCTPU_AB_MODE): `step` (default — the full donated
 train step bench.py times), `fwd` (the jitted loss alone: q-sample + UNet
 forward + MSE, no grad), `grad` (value_and_grad, no Adam/EMA update —

@@ -104,6 +104,12 @@ def test_pick_blocks_respects_scoped_vmem_budget():
         assert bq * n * 6 + 4 * n * 64 <= 14 * 2**20, (n, bq)
         bw = A._pick_bwd_block(n, 64)
         assert n % bw == 0 and bw <= 128
+    # past the resident kernels' VMEM reach both pickers signal the
+    # streaming dispatch with None (fixed K/V [+ dK/dV] cost alone
+    # overflows the 14 MiB budget)
+    assert A._pick_bwd_block(32768, 64) is None
+    assert A._pick_blocks(65536, 64) is None
+    assert A._bwd_streams(32768, 64) and not A._bwd_streams(4096, 64)
 
 
 def test_multi_head_attention_dispatch(rng):
@@ -481,3 +487,104 @@ def test_flash_attention_backward_v2_adversarial_magnitudes(monkeypatch):
             a / scale, b / scale, atol=0.02,
             err_msg=f"d{name} v2-vs-v1 mismatch at the clamp rails",
         )
+
+
+def test_flash_attention_streaming_matches_reference(monkeypatch):
+    """The streaming (KV-blocked) kernels — the N >= ~20K regime where the
+    resident kernels' full-K/V-in-VMEM layout cannot fit the scoped-VMEM
+    limit (256px+ latent training) — must match the f32 reference VJP and
+    the resident kernels bit-for-tolerance. Forced on at a CPU-tractable N
+    via WCTPU_ATTN_STREAM (same trace-time-env rules as the other A/B
+    knobs: fresh jit per variant here because the aval set is identical)."""
+    from weatherconverter_tpu.ops import attention as A
+
+    B, H, N, D = 1, 2, 1024, 32
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(5), 4)
+    q = jax.random.normal(kq, (B, H, N, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, N, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, N, D), jnp.float32)
+    g = jax.random.normal(kg, (B, H, N, D), jnp.float32)
+
+    # resident baselines (env unset)
+    out_res, vjp_res = jax.vjp(A.flash_attention, q, k, v)
+    grads_res = vjp_res(g)
+
+    monkeypatch.setenv("WCTPU_ATTN_STREAM", "1")
+    out_s, vjp_s = jax.vjp(A.flash_attention, q, k, v)
+    grads_s = vjp_s(g)
+
+    ref_out, vjp_ref = jax.vjp(A.attention_reference, q, k, v)
+    grads_ref = vjp_ref(g)
+
+    np.testing.assert_allclose(out_s, ref_out, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(out_s, out_res, atol=2e-5, rtol=2e-5)
+    for gs, gr, gres, name in zip(grads_s, grads_ref, grads_res, "qkv"):
+        np.testing.assert_allclose(
+            gs, gr, atol=3e-4, rtol=3e-4, err_msg=f"d{name} vs reference"
+        )
+        np.testing.assert_allclose(
+            gs, gres, atol=3e-4, rtol=3e-4, err_msg=f"d{name} vs resident"
+        )
+
+
+def test_flash_attention_streaming_bf16_finite_and_close():
+    """Streaming path on the training dtype (bf16 in/out, f32 accumulation):
+    outputs and grads finite and within bf16 tolerance of the f32 reference."""
+    import os as _os
+
+    from weatherconverter_tpu.ops import attention as A
+
+    _os.environ["WCTPU_ATTN_STREAM"] = "1"
+    try:
+        B, H, N, D = 1, 1, 1024, 32
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(kq, (B, H, N, D), jnp.bfloat16)
+        k = jax.random.normal(kk, (B, H, N, D), jnp.bfloat16)
+        v = jax.random.normal(kv, (B, H, N, D), jnp.bfloat16)
+
+        def loss(q_, k_, v_):
+            return jnp.sum(A.flash_attention(q_, k_, v_).astype(jnp.float32) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        del _os.environ["WCTPU_ATTN_STREAM"]
+    f32 = lambda t: t.astype(jnp.float32)
+    ref = jax.grad(
+        lambda q_, k_, v_: jnp.sum(A.attention_reference(q_, k_, v_) ** 2),
+        argnums=(0, 1, 2),
+    )(f32(q), f32(k), f32(v))
+    for a, r, name in zip(grads, ref, "qkv"):
+        a = np.asarray(a, np.float32)
+        r = np.asarray(r, np.float32)
+        assert np.all(np.isfinite(a)), name
+        scale = np.abs(r).max() + 1e-30
+        np.testing.assert_allclose(a / scale, r / scale, atol=0.02, err_msg=name)
+
+
+def test_bwd_vmem_profile_selects_v2_bq256_and_matches():
+    """The shipped train profile (attention.bwd_vmem_profile(32768), paired
+    with train_compiler_options() on the jit) must pick bq=256 + the v2
+    kernel — the round-8 in-situ sweep winner — and produce gradients equal
+    to the default profile up to fp reassociation."""
+    from weatherconverter_tpu.ops import attention as A
+
+    # picker: raised limit admits 256 at the production N; default keeps 128
+    assert A._pick_bwd_block(4096, 64, A._RAISED_VMEM_KIB) == 256
+    assert A._pick_bwd_block(4096, 64) == 128
+
+    B, H, N, D = 1, 2, 1024, 32
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(13), 4)
+    q = jax.random.normal(kq, (B, H, N, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, N, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, N, D), jnp.float32)
+    g = jax.random.normal(kg, (B, H, N, D), jnp.float32)
+
+    _, vjp_default = jax.vjp(A.flash_attention, q, k, v)
+    grads_default = vjp_default(g)
+    with A.bwd_vmem_profile(A._RAISED_VMEM_KIB):
+        assert A._pick_bwd_block(N, D, A._bwd_vmem_kib) == 256
+        _, vjp_prof = jax.vjp(A.flash_attention, q, k, v)
+        grads_prof = vjp_prof(g)
+    assert A._bwd_vmem_kib == A._DEFAULT_VMEM_KIB  # context restored
+    for a, b, name in zip(grads_prof, grads_default, "qkv"):
+        np.testing.assert_allclose(a, b, atol=3e-4, rtol=3e-4, err_msg=name)

@@ -16,6 +16,7 @@ image self-attention.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -372,6 +373,255 @@ def _bwd_v2() -> bool:
     return os.environ.get("WCTPU_ATTN_BWD_V2", "0") == "1"
 
 
+# ---------------------------------------------------------------------------
+# Backward VMEM profile (the shipped train-step optimization, round 8).
+#
+# The in-situ sweep on the real bench.py train program (scripts/ab_train.py,
+# fresh process per variant, PROFILE.md round-8 table) found the v2 backward
+# kernel at block_q=256 under a RAISED 32 MiB scoped-VMEM limit wins 4.9%
+# end-to-end (54.2/54.3 ms/step vs 57.0 base, reproduced); neither piece
+# wins alone (v2@bq128 can't compile under the default 16 MiB limit, the
+# raised limit with the v1 kernel measured neutral). The limit is a per-jit
+# compiler option (xla_tpu_scoped_vmem_limit_kib) the backward trace cannot
+# introspect, so the SAME choice is carried by this explicit trace-time
+# context: make_train_step passes `train_compiler_options()` to its jit and
+# enters `bwd_vmem_profile(32768)` around every call (only the trace-time
+# hit matters; calls after tracing are free). This is a programmatic
+# contract, not an env flag — the WCTPU_ATTN_BWD_* envs remain A/B-only
+# overrides (CLAUDE.md rule 3).
+# ---------------------------------------------------------------------------
+
+_DEFAULT_VMEM_KIB = 16384
+_RAISED_VMEM_KIB = 32768
+_bwd_vmem_kib = _DEFAULT_VMEM_KIB
+
+
+@contextlib.contextmanager
+def bwd_vmem_profile(kib: int):
+    """Declare the scoped-VMEM limit the surrounding jit compiles under, so
+    the flash backward picks matching kernel/tile variants at trace time.
+    Pair with `train_compiler_options()` on the jit itself."""
+    global _bwd_vmem_kib
+    prev = _bwd_vmem_kib
+    _bwd_vmem_kib = int(kib)
+    try:
+        yield
+    finally:
+        _bwd_vmem_kib = prev
+
+
+def train_compiler_options() -> dict | None:
+    """jit compiler_options for training programs that differentiate through
+    flash_attention: the raised scoped-VMEM limit the shipped v2@bq256
+    backward needs. None off-TPU (the option is TPU-only)."""
+    if not _on_tpu():
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(_RAISED_VMEM_KIB)}
+
+
+# ---------------------------------------------------------------------------
+# Streaming (KV-blocked) kernels — the N >= ~20K regime.
+#
+# The resident kernels above keep the FULL K/V (and, backward, the f32 dK/dV
+# accumulators) in VMEM per (batch*head) program: a fixed 12*N*D bytes that
+# outgrows Mosaic's 16 MiB scoped-VMEM limit near N~20K at D=64 (256px+
+# latent training, PROFILE.md HBM-envelope section). The streaming variants
+# tile BOTH sequence axes — every VMEM buffer is (block, D) or
+# (block_q, block_k), so any N that fits HBM compiles. Two properties keep
+# them simple and exact:
+#   * the clamp-softmax (see _CLAMP) has no row-max recurrence, so partial
+#     exp sums accumulate directly — no online rescaling;
+#   * all per-row 1/l and `scale` factors fold OUT of the kernels into
+#     whole-tensor elementwise ops (the same reassociation the v2 resident
+#     kernel A/B'd): the forward normalizes o = o_acc / l after the kernel,
+#     the backward pre-scales qh = q*scale/l, doh = do/l and post-scales dq.
+# Gradients are exact up to fp reassociation vs the resident kernels (same
+# clamp semantics, f32 accumulation throughout).
+# ---------------------------------------------------------------------------
+
+
+def _stream_forced() -> bool:
+    return os.environ.get("WCTPU_ATTN_STREAM", "0") == "1"
+
+
+def _pick_stream_block(n: int) -> int:
+    """(block_q, block_k) tile edge: 256 keeps the handful of live f32
+    (bq, bk) tiles under ~2 MiB at any N; dispatch guarantees n % 128 == 0."""
+    for b in (256, 128):
+        if n % b == 0:
+            return b
+    return n
+
+
+def _flash_kernel_stream_fwd(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
+    """One (batch*head, q-block, k-block) program: accumulates the
+    UN-normalized PV partial and the exp row-sum; the caller divides."""
+    jk = pl.program_id(2)
+    q = q_ref[0]  # (bq, D)
+    k = k_ref[0]  # (bk, D)
+    v = v_ref[0]  # (bk, D)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, bk)
+    p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP))
+
+    @pl.when(jk == 0)
+    def _init():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+        l_ref[0] = jnp.zeros_like(l_ref[0])
+
+    o_ref[0] += jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # l is laid out (bh, n, 1): the trailing singleton keeps the block
+    # shape (1, bq, 1) legal for Mosaic (last dim equals the array dim,
+    # bq sits in the /8 sublane slot)
+    l_ref[0] += jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _flash_stream_fwd_impl(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (o, l): normalized output in q.dtype and the f32 exp row-sums
+    shaped (B, H, N, 1) for reuse by the streaming backward."""
+    b, h, n, d = q.shape
+    bh = b * h
+    bq = bk = _pick_stream_block(n)
+    scale = float(1.0 / (d**0.5))
+    rs = lambda x: x.reshape(bh, n, d)
+    grid = (bh, n // bq, n // bk)
+    qspec = pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, bk, d), lambda i, jq, jk: (i, jk, 0), memory_space=pltpu.VMEM)
+    o_acc, l = pl.pallas_call(
+        functools.partial(_flash_kernel_stream_fwd, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec],
+        out_specs=(
+            qspec,
+            pl.BlockSpec((1, bq, 1), lambda i, jq, jk: (i, jq, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(rs(q), rs(k), rs(v))
+    o = (o_acc / l).astype(q.dtype)
+    return o.reshape(b, h, n, d), l.reshape(b, h, n, 1)
+
+
+def _stream_bwd_core(q, k, v, o, do, *, scale: float):
+    """Shared (bq, bk) softmax-VJP core: the un-normalized, un-scaled
+    m = p * (dpn - Dv) with the clamp-gradient mask, plus p for dV."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, bk)
+    p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP))
+    dpn = jax.lax.dot_general(
+        do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    Dv = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
+    m = p * (dpn - Dv)
+    m = jnp.where((s <= _CLAMP) & (s >= -_CLAMP), m, 0.0)
+    return p, m
+
+
+def _flash_bwd_dq_kernel_stream(
+    q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, *, scale: float
+):
+    """dQ pass: grid (bh, q-block, k-block), dq accumulates across k-blocks.
+    Emits the UN-scaled sum_j m_ij k_j; the caller applies scale/l per row."""
+    jk = pl.program_id(2)
+    _, m = _stream_bwd_core(
+        q_ref[0], k_ref[0], v_ref[0],
+        o_ref[0].astype(jnp.float32), do_ref[0].astype(jnp.float32), scale=scale,
+    )
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    dq_ref[0] += jax.lax.dot_general(
+        m.astype(q_ref.dtype), k_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flash_bwd_dkv_kernel_stream(
+    q_ref, k_ref, v_ref, o_ref, do_ref, qh_ref, doh_ref, dk_ref, dv_ref,
+    *, scale: float,
+):
+    """dK/dV pass: grid (bh, k-block, q-block), dk/dv accumulate across
+    q-blocks. The per-row scale/l factors arrive pre-folded into
+    qh = q * scale/l and doh = do/l (computed outside, XLA-fused)."""
+    jq = pl.program_id(2)
+    p, m = _stream_bwd_core(
+        q_ref[0], k_ref[0], v_ref[0],
+        o_ref[0].astype(jnp.float32), do_ref[0].astype(jnp.float32), scale=scale,
+    )
+
+    @pl.when(jq == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jax.lax.dot_general(
+        m.astype(q_ref.dtype), qh_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(doh_ref.dtype), doh_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flash_stream_bwd_impl(q, k, v, o, do, l, *, interpret: bool):
+    b, h, n, d = q.shape
+    bh = b * h
+    bq = bk = _pick_stream_block(n)
+    scale = float(1.0 / (d**0.5))
+    rs = lambda x: x.reshape(bh, n, d)
+    linv = (1.0 / l).astype(jnp.float32)  # (B, H, N, 1)
+    qh = rs((q.astype(jnp.float32) * (scale * linv)).astype(q.dtype))
+    doh = rs((do.astype(jnp.float32) * linv).astype(do.dtype))
+    qspec = pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, bk, d), lambda i, jq, jk: (i, jk, 0), memory_space=pltpu.VMEM)
+
+    dq_acc = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel_stream, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        grid=(bh, n // bq, n // bk),
+        in_specs=[qspec, kspec, kspec, qspec, qspec],
+        out_specs=qspec,
+        interpret=interpret,
+    )(rs(q), rs(k), rs(v), rs(o), rs(do))
+    dq = (dq_acc.reshape(b, h, n, d) * (scale * linv)).astype(q.dtype)
+
+    # dkv grid: k-blocks in the middle, q-blocks innermost (accumulation dim)
+    qspec2 = pl.BlockSpec((1, bq, d), lambda i, jk, jq: (i, jq, 0), memory_space=pltpu.VMEM)
+    kspec2 = pl.BlockSpec((1, bk, d), lambda i, jk, jq: (i, jk, 0), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel_stream, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        ),
+        grid=(bh, n // bk, n // bq),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, qspec2, qspec2, qspec2],
+        out_specs=(kspec2, kspec2),
+        interpret=interpret,
+    )(rs(q), rs(k), rs(v), rs(o), rs(do), qh, doh)
+    un = lambda x: x.reshape(b, h, n, d)
+    return dq, un(dk).astype(k.dtype), un(dv).astype(v.dtype)
+
+
 def _env_block_override(name: str, n: int) -> int | None:
     """Tolerantly parse an A/B-only block-size override env var.
 
@@ -400,7 +650,11 @@ def _flash_attention_bwd_impl(q, k, v, o, do, *, block_q: int, interpret: bool):
     grid = (bh, n // block_q)
     qspec = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-    kernel = _flash_bwd_kernel_v2 if _bwd_v2() else _flash_bwd_kernel
+    # v2 is the default under the raised train profile (the in-situ sweep
+    # winner; it cannot compile under the default 16 MiB limit at bq=128).
+    # WCTPU_ATTN_BWD_V2 stays as the A/B-only force (scripts/ab_train.py).
+    use_v2 = _bwd_v2() or _bwd_vmem_kib >= _RAISED_VMEM_KIB
+    kernel = _flash_bwd_kernel_v2 if use_v2 else _flash_bwd_kernel
     dq, dk, dv = pl.pallas_call(
         functools.partial(kernel, scale=scale),
         out_shape=(
@@ -430,51 +684,82 @@ def _pick_blocks(n: int, d: int = 64) -> tuple[int, int]:
     q/out blocks and spills). At N=4096 this leaves bq=512 (the tuned
     optimum, 13 MiB) untouched; at N=16384 (256px latents — the
     hbm_envelope hires row) bq=512 would need a 32 MiB f32 tile and
-    crashes the server-side Mosaic compiler, so the budget picks 64."""
+    crashes the server-side Mosaic compiler, so the budget picks 64.
+    Returns None when even the smallest block overflows (N ~ 58K+ at
+    D=64): that regime dispatches to the streaming kernels."""
     budget = 14 * 2**20 - 4 * n * d
     for b in (512, 256, 128, 64, 32, 16, 8):
         if n % b == 0 and b <= n and b * n * 6 <= budget:
             return b, b
-    return n, n
+    return None
 
 
-def _pick_bwd_block(n: int, d: int = 64) -> int:
+def _pick_bwd_block(n: int, d: int = 64, vmem_kib: int = _DEFAULT_VMEM_KIB) -> int | None:
     """The backward holds ~3 (block_q, N) f32 tiles live (scores, dpn, ds):
     cap block_q at 128 so 3 x 128 x 4096 x 4 = 6 MiB fits VMEM with K/V and
     the f32 dK/dV accumulators. Like _pick_blocks, the cap shrinks with N
-    against the 16 MiB scoped-VMEM limit (fixed cost: K/V bf16 + dK/dV f32
-    accumulators = 12*n*d bytes; tiles 12*bq*n). Past N~16K even bq=8
-    cannot fit — that regime is what parallel/spatial.py shards."""
-    budget = 14 * 2**20 - 12 * n * d
-    for b in (128, 64, 32, 16, 8):
+    against the scoped-VMEM limit (fixed cost: K/V bf16 + dK/dV f32
+    accumulators = 12*n*d bytes; tiles 12*bq*n; 2 MiB headroom). Under the
+    default 16 MiB limit this yields the long-standing bq=128 at N=4096;
+    under the raised train profile (bwd_vmem_profile) bq=256 fits — the
+    in-situ sweep winner. Returns None when nothing fits (N ~ 20K+ at
+    D=64, default limit): that regime dispatches to the streaming backward
+    (_flash_stream_bwd_impl), which tiles both sequence axes."""
+    budget = (vmem_kib - 2048) * 1024 - 12 * n * d
+    # bq=256 is only admitted under the raised profile: it is the variant
+    # the sweep measured there; under the default limit the tuned (and
+    # shipped) cap remains 128 at every N.
+    candidates = (256, 128, 64, 32, 16, 8) if vmem_kib > _DEFAULT_VMEM_KIB else (128, 64, 32, 16, 8)
+    for b in candidates:
         if n % b == 0 and b <= n and 12 * b * n <= budget:
             return b
-    return min(8, n) if n % 8 == 0 else n
+    return None
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _bwd_streams(n: int, d: int) -> bool:
+    """Streaming backward when the resident one cannot fit scoped VMEM
+    (or forced via WCTPU_ATTN_STREAM for tests/A/B)."""
+    return _stream_forced() or _pick_bwd_block(n, d, _bwd_vmem_kib) is None
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Blockwise attention, Pallas on TPU, interpret-mode elsewhere.
-    Forward AND backward keep the (N, N) scores on-chip (custom_vjp below)."""
-    n = q.shape[2]
-    bq, bk = _pick_blocks(n, q.shape[3])
+    Forward AND backward keep the (N, N) scores on-chip (custom_vjp below);
+    past the resident kernels' VMEM reach the streaming variants take over,
+    so any N that fits HBM compiles."""
+    n, d = q.shape[2], q.shape[3]
+    blocks = None if _stream_forced() else _pick_blocks(n, d)
+    if blocks is None:
+        o, _ = _flash_stream_fwd_impl(q, k, v, interpret=not _on_tpu())
+        return o
     return _flash_attention_fwd_impl(
-        q, k, v, block_q=bq, block_k=bk, interpret=not _on_tpu()
+        q, k, v, block_q=blocks[0], block_k=blocks[1], interpret=not _on_tpu()
     )
 
 
 def _fa_fwd(q, k, v):
+    n, d = q.shape[2], q.shape[3]
+    if _bwd_streams(n, d):
+        # streaming backward reuses the forward's exp row-sums: take the
+        # forward through the streaming kernel so l comes out for free
+        o, l = _flash_stream_fwd_impl(q, k, v, interpret=not _on_tpu())
+        return o, (q, k, v, o, l)
     o = flash_attention(q, k, v)
-    return o, (q, k, v, o)
+    return o, (q, k, v, o, None)
 
 
 def _fa_bwd(res, g):
-    q, k, v, o = res
-    bq = _pick_bwd_block(q.shape[2], q.shape[3])
+    q, k, v, o, l = res
+    if l is not None:
+        return _flash_stream_bwd_impl(
+            q, k, v, o, g.astype(q.dtype), l, interpret=not _on_tpu()
+        )
+    bq = _pick_bwd_block(q.shape[2], q.shape[3], _bwd_vmem_kib)
     # A/B-only override, same convention as WCTPU_ATTN_I8_BQ (scripts/
     # ab_train.py sweeps the backward tile on the real train program)
     bq = _env_block_override("WCTPU_ATTN_BWD_BQ", q.shape[2]) or bq
@@ -512,9 +797,13 @@ def multi_head_attention(
         # forward-only path (sampling/translation); training keeps bf16.
         # block_q swept in situ for the i8 kernel specifically (PROFILE.md
         # r4): 512 (the bf16 optimum) stands; WCTPU_ATTN_I8_BQ for A/B.
-        bq, _ = _pick_blocks(n, d)
-        bq = _env_block_override("WCTPU_ATTN_I8_BQ", n) or bq
-        return _flash_attention_fwd_i8_impl(
-            q, k, v, block_q=bq, interpret=not _on_tpu(), pv_int8=_pv_int8()
-        )
+        blocks = _pick_blocks(n, d)
+        if blocks is not None:
+            bq = _env_block_override("WCTPU_ATTN_I8_BQ", n) or blocks[0]
+            return _flash_attention_fwd_i8_impl(
+                q, k, v, block_q=bq, interpret=not _on_tpu(), pv_int8=_pv_int8()
+            )
+        # resident tiles can't fit at this N: fall through to the bf16
+        # streaming forward (no i8 streaming variant — that regime is
+        # HBM-bound, not MXU-bound)
     return flash_attention(q, k, v)

@@ -17,6 +17,7 @@ Adam update. TPU-first differences:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, Optional
 
@@ -28,6 +29,7 @@ from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from weatherconverter_tpu.diffusion.schedule import NoiseSchedule, q_sample
+from weatherconverter_tpu.ops import attention
 from weatherconverter_tpu.training.losses import mse_loss
 from weatherconverter_tpu.training import optim as optim_lib
 
@@ -154,7 +156,12 @@ def make_train_step(
     Adam moments + EMA sharded across 'data'); XLA inserts the all-gather at
     param use and reduce-scatters the grads, and donation keeps the updated
     shards in place. The step BODY is identical — only the jit layout
-    annotations change (CLAUDE.md rule 4)."""
+    annotations change (CLAUDE.md rule 4).
+
+    On TPU the step compiles under a raised 32 MiB scoped-VMEM limit paired
+    with attention.bwd_vmem_profile, which selects the flash backward's
+    v2@bq256 kernel — the round-8 in-situ sweep winner (54.2 vs 57.0
+    ms/step on the bench train program; PROFILE.md)."""
     step = partial(
         train_step, sched=sched, augment_fn=augment_fn, accum_steps=accum_steps
     )
@@ -171,7 +178,18 @@ def make_train_step(
         else:
             kwargs["in_shardings"] = (rep, data, rep)
             kwargs["out_shardings"] = (rep, rep)
-    return jax.jit(step, **kwargs)
+    copts = attention.train_compiler_options()
+    if copts is None:
+        return jax.jit(step, **kwargs)
+    jitted = jax.jit(step, compiler_options=copts, **kwargs)
+
+    @functools.wraps(jitted)
+    def step_with_profile(*args, **kw):
+        # only the trace-time entry matters; post-trace calls are free
+        with attention.bwd_vmem_profile(attention._RAISED_VMEM_KIB):
+            return jitted(*args, **kw)
+
+    return step_with_profile
 
 
 def make_eval_loss(sched: NoiseSchedule, apply_fn, mesh: Optional[Mesh] = None):
